@@ -1,0 +1,16 @@
+"""Test configuration: force CPU backend with 8 virtual devices and f64.
+
+Multi-chip sharding is validated on a virtual CPU mesh (no multi-chip TPU
+hardware in CI); the solver core runs in f64 for IPOPT-comparable tolerances.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', 'true')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', True)
