@@ -1,0 +1,397 @@
+"""Primal-dual interior-point NLP solver in JAX.
+
+From-scratch replacement for the reference's IPOPT + MA57 stack
+(/root/reference/awebox/opti/preparation.py:233-363). Solves
+
+    min  f(w, p)
+    s.t. c_E(w, p)  = 0
+         c_I(w, p) <= 0
+         lbw <= w <= ubw
+
+with the Fiacco-McCormick barrier method in primal-dual form, exactly as the
+hippo strategy requires: ``mu_target`` keeps intermediate homotopy solves at a
+relaxed barrier (reference opts/default.py:347-351), warm starts reuse primal
+and dual iterates.
+
+TPU-first linear algebra: the KKT system is solved by a Cholesky/Schur
+factorization ([W, A^T; A, -D] with W = H + Sigma + delta_w I forced positive
+definite by primal regularization). chol(W) succeeding certifies the correct
+KKT inertia (n, m, 0) without symmetric-indefinite pivoting - the role MA57's
+inertia detection plays in IPOPT - and costs only matmuls and triangular
+solves, which map straight onto the MXU. All heavy pieces are jitted and
+vmappable for batched scenario solves; the outer loop is host-driven.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class IPOptions:
+    tol: float = 1e-8
+    mu_init: float = 1e-1
+    mu_target: float = 0.0       # relaxed barrier target (hippo)
+    mu_linear_decrease: float = 0.2
+    mu_superlinear_power: float = 1.5
+    kappa_eps: float = 10.0      # barrier-subproblem tolerance factor
+    tau_min: float = 0.99
+    max_iter: int = 3000
+    delta_w_init: float = 1e-8
+    delta_w_max: float = 1e10
+    delta_c: float = 1e-8
+    armijo_eta: float = 1e-4
+    max_ls: int = 25
+    bound_relax: float = 1e-8
+    bound_push: float = 1e-2     # kappa_1: minimal distance of w0 from bounds
+    slack_min: float = 1e-8
+    verbose: bool = False
+
+
+@dataclass
+class IPResult:
+    w: jnp.ndarray
+    y: jnp.ndarray              # equality multipliers
+    lam: jnp.ndarray            # inequality multipliers (>= 0)
+    s: jnp.ndarray              # inequality slacks
+    zl: jnp.ndarray
+    zu: jnp.ndarray
+    mu: float
+    kkt_error: float
+    iterations: int
+    success: bool
+    status: str = ''
+
+
+def _finite(x, repl):
+    return jnp.where(jnp.isfinite(x), x, repl)
+
+
+class InteriorPointSolver:
+    """One compiled solver instance per (f, eq, ineq) function triple.
+
+    The parameter vector/pytree `p` flows through every call, so homotopy
+    steps (which only change p and the bounds) reuse the same compilation.
+    """
+
+    def __init__(self, f, eq, ineq, n, n_eq, n_ineq, options: IPOptions = None):
+        self.f = f
+        self.eq = eq
+        self.ineq = ineq
+        self.n = n
+        self.n_eq = n_eq
+        self.n_ineq = n_ineq
+        self.opts = options or IPOptions()
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        f, eq, ineq = self.f, self.eq, self.ineq
+        n_eq, n_ineq = self.n_eq, self.n_ineq
+
+        def lagrangian(w, y, lam, p):
+            L = f(w, p)
+            if n_eq:
+                L = L + y @ eq(w, p)
+            if n_ineq:
+                L = L + lam @ ineq(w, p)
+            return L
+
+        @jax.jit
+        def derivs(w, y, lam, p):
+            fval, gradf = jax.value_and_grad(f)(w, p)
+            cE = eq(w, p) if n_eq else jnp.zeros(0)
+            cI = ineq(w, p) if n_ineq else jnp.zeros(0)
+            JE = jax.jacfwd(eq)(w, p) if n_eq else jnp.zeros((0, self.n))
+            JI = jax.jacfwd(ineq)(w, p) if n_ineq else jnp.zeros((0, self.n))
+            H = jax.hessian(lagrangian)(w, y, lam, p)
+            return fval, gradf, cE, cI, JE, JI, H
+
+        self._derivs = derivs
+
+        @jax.jit
+        def kkt_solve(gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
+                      lbw, ubw, mu, delta_w, delta_c):
+            # barrier diagonal
+            dl = jnp.maximum(w - lbw, 1e-20)
+            du = jnp.maximum(ubw - w, 1e-20)
+            sigma = zl / dl + zu / du
+
+            W = H + jnp.diag(sigma) + delta_w * jnp.eye(self.n)
+
+            A = jnp.concatenate([JE, JI], axis=0)
+            lam_safe = jnp.maximum(lam, 1e-12)
+            D = jnp.concatenate([
+                delta_c * jnp.ones(n_eq),
+                s / lam_safe + delta_c * jnp.ones(n_ineq)])
+            r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
+
+            # primal-dual dual-infeasibility rhs (bound-dual terms eliminate
+            # to the centered form): r1 = -(gradf + A^T nu - mu/dl + mu/du)
+            r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du)
+
+            # Doubly-augmented condensed solve (Forsgren-Gill): with D > 0,
+            # chol(M) of M = W + A^T D^-1 A succeeds iff the KKT matrix
+            # [W, A^T; A, -D] has the correct inertia (n, m, 0) - this
+            # replaces MA57's inertia detection with pure MXU-friendly algebra.
+            Dinv_sqrt = 1.0 / jnp.sqrt(D)
+            As = A * Dinv_sqrt[:, None]
+            M = W + As.T @ As
+            LM = jnp.linalg.cholesky(M)
+            ok = jnp.all(jnp.isfinite(LM))
+            LM = _finite(LM, 1.0)
+
+            def msolve(B):
+                t = jax.scipy.linalg.solve_triangular(LM, B, lower=True)
+                return jax.scipy.linalg.solve_triangular(LM.T, t, lower=False)
+
+            # system rows: W dw + A^T dnu = r1 ; A dw - D dnu = -r2
+            # eliminating dnu = D^-1 (A dw + r2):
+            #   M dw = r1 - A^T D^-1 r2
+            rhs_w = r1 - A.T @ (r2 / D)
+            dw = msolve(rhs_w)
+            # one step of iterative refinement on the condensed system to fight
+            # the D^-1 ~ 1/delta_c conditioning
+            resid = rhs_w - (W @ dw + As.T @ (As @ dw))
+            dw = dw + msolve(resid)
+            dnu = (A @ dw + r2) / D
+
+            dy = dnu[:n_eq]
+            dlam = dnu[n_eq:]
+            ds = -(cI + s) - JI @ dw if n_ineq else jnp.zeros(0)
+            dzl = mu / dl - zl - zl * dw / dl
+            dzu = mu / du - zu + zu * dw / du
+
+            return dw, dy, dlam, ds, dzl, dzu, ok
+
+        self._kkt_solve = kkt_solve
+
+        @jax.jit
+        def barrier_merit(w, s, p, mu, nu, lbw, ubw):
+            phi = f(w, p)
+            dl = w - lbw
+            du = ubw - w
+            phi = phi - mu * jnp.sum(jnp.where(jnp.isfinite(lbw), jnp.log(jnp.maximum(dl, 1e-300)), 0.0))
+            phi = phi - mu * jnp.sum(jnp.where(jnp.isfinite(ubw), jnp.log(jnp.maximum(du, 1e-300)), 0.0))
+            theta = 0.
+            if n_ineq:
+                phi = phi - mu * jnp.sum(jnp.log(jnp.maximum(s, 1e-300)))
+                theta = theta + jnp.sum(jnp.abs(ineq(w, p) + s))
+            if n_eq:
+                theta = theta + jnp.sum(jnp.abs(eq(w, p)))
+            feasible = jnp.logical_and(jnp.all(w > lbw), jnp.all(w < ubw))
+            if n_ineq:
+                feasible = jnp.logical_and(feasible, jnp.all(s > 0))
+            val = jnp.where(feasible, phi + nu * theta, jnp.inf)
+            return val, theta
+
+        self._barrier_merit = barrier_merit
+
+        @jax.jit
+        def kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw):
+            gradf = jax.grad(f)(w, p)
+            r_w = gradf - zl + zu
+            if n_eq:
+                r_w = r_w + jax.vjp(lambda ww: eq(ww, p), w)[1](y)[0]
+            if n_ineq:
+                r_w = r_w + jax.vjp(lambda ww: ineq(ww, p), w)[1](lam)[0]
+
+            # IPOPT-style scaling of the dual residual
+            s_max = 100.
+            mults = jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(lam)) \
+                + jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))
+            n_mults = n_eq + n_ineq + 2 * self.n
+            s_d = jnp.maximum(s_max, mults / jnp.maximum(n_mults, 1)) / s_max
+
+            err_d = jnp.max(jnp.abs(r_w)) / s_d
+            err_p = 0.
+            if n_eq:
+                err_p = jnp.maximum(err_p, jnp.max(jnp.abs(eq(w, p))))
+            if n_ineq:
+                err_p = jnp.maximum(err_p, jnp.max(jnp.abs(ineq(w, p) + s)))
+            dl = w - lbw
+            du = ubw - w
+            comp_l = jnp.where(jnp.isfinite(lbw), zl * dl - mu, 0.0)
+            comp_u = jnp.where(jnp.isfinite(ubw), zu * du - mu, 0.0)
+            err_c = jnp.maximum(jnp.max(jnp.abs(comp_l), initial=0.),
+                                jnp.max(jnp.abs(comp_u), initial=0.))
+            if n_ineq:
+                err_c = jnp.maximum(err_c, jnp.max(jnp.abs(lam * s - mu)))
+            err_c = err_c / s_d
+            return jnp.maximum(jnp.maximum(err_d, err_p), err_c)
+
+        self._kkt_error = kkt_error
+
+    # ------------------------------------------------------------------
+    def init_state(self, w0, p, lbw, ubw, y0=None, lam0=None, mu=None):
+        o = self.opts
+        lbw = jnp.asarray(lbw)
+        ubw = jnp.asarray(ubw)
+        # push strictly inside bounds
+        span = jnp.minimum(o.bound_push * jnp.maximum(1., jnp.abs(w0)),
+                           0.5 * (ubw - lbw))
+        w = jnp.clip(jnp.asarray(w0), lbw + span, ubw - span)
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+
+        mu = float(o.mu_init if mu is None else mu)
+        cI = self.ineq(w, p) if self.n_ineq else jnp.zeros(0)
+        s = jnp.maximum(-cI, o.slack_min * 10)
+        s = jnp.maximum(s, mu / 100.)
+        y = jnp.zeros(self.n_eq) if y0 is None else jnp.asarray(y0)
+        lam = jnp.maximum(mu / s, 1e-8) if lam0 is None else jnp.maximum(jnp.asarray(lam0), 1e-8)
+        dl = jnp.maximum(w - lbw, 1e-8)
+        du = jnp.maximum(ubw - w, 1e-8)
+        zl = jnp.where(jnp.isfinite(lbw), mu / dl, 0.0)
+        zu = jnp.where(jnp.isfinite(ubw), mu / du, 0.0)
+        return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+
+    # ------------------------------------------------------------------
+    def solve(self, w0, p, lbw, ubw, state=None, **kw) -> IPResult:
+        o = self.opts
+        lbw = jnp.asarray(lbw, dtype=jnp.asarray(w0).dtype)
+        ubw = jnp.asarray(ubw, dtype=jnp.asarray(w0).dtype)
+        if state is None:
+            state = self.init_state(w0, p, lbw, ubw, **kw)
+        w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
+        zl, zu = state['zl'], state['zu']
+        mu = state['mu']
+
+        mu_min = max(o.mu_target, o.tol / 10.)
+        delta_w_last = 0.0
+        nu = 1.0
+        status = 'max_iter'
+        success = False
+        it = 0
+
+        for it in range(1, o.max_iter + 1):
+            fval, gradf, cE, cI, JE, JI, H = self._derivs(w, y, lam, p)
+            if not np.isfinite(float(fval)):
+                status = 'nan_objective'
+                break
+
+            # convergence at the target barrier level
+            err_target = float(self._kkt_error(w, s, y, lam, zl, zu, p,
+                                               mu_min if o.mu_target > 0 else 0.,
+                                               lbw, ubw))
+            if err_target <= o.tol:
+                success = True
+                status = 'solved'
+                break
+
+            # barrier subproblem convergence -> decrease mu
+            err_mu = float(self._kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw))
+            while err_mu <= o.kappa_eps * mu and mu > mu_min + 1e-16:
+                mu = max(mu_min, min(o.mu_linear_decrease * mu,
+                                     mu ** o.mu_superlinear_power))
+
+            # KKT solve with primal regularization ladder
+            delta_w = 0.0
+            for trial in range(12):
+                dw, dy, dlam, ds, dzl, dzu, ok = self._kkt_solve(
+                    gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
+                    lbw, ubw, mu, delta_w, o.delta_c)
+                if bool(ok) and np.all(np.isfinite(np.asarray(dw))):
+                    break
+                if delta_w == 0.0:
+                    delta_w = max(o.delta_w_init, delta_w_last / 3.)
+                else:
+                    delta_w *= 100. if delta_w_last == 0 else 8.
+                if delta_w > o.delta_w_max:
+                    break
+            else:
+                status = 'regularization_failed'
+                break
+            if delta_w > o.delta_w_max:
+                status = 'regularization_failed'
+                break
+            if delta_w > 0:
+                delta_w_last = delta_w
+
+            # fraction-to-boundary
+            tau = max(o.tau_min, 1. - mu)
+            alpha_max = 1.0
+
+            def ftb(val, dval):
+                neg = dval < 0
+                ratios = jnp.where(neg, -tau * val / jnp.where(neg, dval, -1.), jnp.inf)
+                return float(jnp.min(ratios, initial=1.0))
+
+            dl = w - lbw
+            du = ubw - w
+            alpha_max = min(alpha_max, ftb(dl, dw), ftb(du, -dw))
+            if self.n_ineq:
+                alpha_max = min(alpha_max, ftb(s, ds))
+            alpha_z = 1.0
+            alpha_z = min(alpha_z, ftb(jnp.maximum(zl, 1e-300), dzl),
+                          ftb(jnp.maximum(zu, 1e-300), dzu))
+            if self.n_ineq:
+                alpha_z = min(alpha_z, ftb(lam, dlam))
+
+            # penalty parameter
+            duals_inf = float(max(
+                np.max(np.abs(np.asarray(y)), initial=0.),
+                np.max(np.abs(np.asarray(lam)), initial=0.),
+                np.max(np.abs(np.asarray(y + alpha_max * dy)), initial=0.),
+                np.max(np.abs(np.asarray(lam + alpha_max * dlam)), initial=0.)))
+            nu = max(nu, 1.1 * duals_inf + 1e-6)
+
+            phi0, theta0 = self._barrier_merit(w, s, p, mu, nu, lbw, ubw)
+            phi0 = float(phi0)
+
+            # directional derivative of the merit function
+            ddir = float(gradf @ dw
+                         - mu * jnp.sum(jnp.where(jnp.isfinite(lbw), dw / jnp.maximum(dl, 1e-300), 0.))
+                         + mu * jnp.sum(jnp.where(jnp.isfinite(ubw), dw / jnp.maximum(du, 1e-300), 0.)))
+            if self.n_ineq:
+                ddir += float(-mu * jnp.sum(ds / jnp.maximum(s, 1e-300)))
+            ddir -= nu * float(theta0)
+
+            alpha = alpha_max
+            accepted = False
+            for _ in range(o.max_ls):
+                w_new = w + alpha * dw
+                s_new = s + alpha * ds if self.n_ineq else s
+                phi_a, theta_a = self._barrier_merit(w_new, s_new, p, mu, nu, lbw, ubw)
+                phi_a = float(phi_a)
+                if np.isfinite(phi_a) and (
+                        phi_a <= phi0 + o.armijo_eta * alpha * min(ddir, 0.)
+                        or phi_a <= phi0 - 1e-12 * abs(phi0)):
+                    accepted = True
+                    break
+                alpha *= 0.5
+            if not accepted:
+                # watchdog: take a tiny step to escape, with more regularization next time
+                alpha = min(1e-4, alpha_max)
+                delta_w_last = max(delta_w_last, o.delta_w_init) * 10.
+
+            w = w + alpha * dw
+            y = y + alpha_z * dy
+            lam = jnp.maximum(lam + alpha_z * dlam, 1e-16) if self.n_ineq else lam
+            if self.n_ineq:
+                s = jnp.maximum(s + alpha * ds, 1e-16)
+            zl = zl + alpha_z * dzl
+            zu = zu + alpha_z * dzu
+            # keep bound duals in IPOPT's safeguard corridor
+            dl = jnp.maximum(w - lbw, 1e-20)
+            du = jnp.maximum(ubw - w, 1e-20)
+            kappa_sigma = 1e10
+            zl = jnp.clip(zl, mu / (kappa_sigma * dl), kappa_sigma * mu / dl)
+            zu = jnp.clip(zu, mu / (kappa_sigma * du), kappa_sigma * mu / du)
+            zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
+            zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
+
+            if o.verbose and (it % 10 == 0 or it == 1):
+                print(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '
+                      f'alpha={alpha:8.1e} dw={delta_w:8.1e} f={float(fval):13.6e}')
+
+        err_final = float(self._kkt_error(w, s, y, lam, zl, zu, p,
+                                          mu_min if o.mu_target > 0 else 0., lbw, ubw))
+        return IPResult(w=w, y=y, lam=lam, s=s, zl=zl, zu=zu, mu=mu,
+                        kkt_error=err_final, iterations=it,
+                        success=success or err_final <= o.tol * 100,
+                        status=status)

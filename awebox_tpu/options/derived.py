@@ -408,13 +408,24 @@ def build_processed_options(options: Dict[str, Any], architecture) -> Dict[str, 
 
     scaling['x']['e'] = np.array(energy_scaling)
 
+    # fixed design parameters: pin theta bounds and override the initial guess,
+    # but (matching the reference option-assembly order, funcs.py:51-54 vs
+    # model_funcs.py:252-283) NOT the scaling values computed above.
+    fixed_params = dict(user_options['trajectory'].get('fixed_params') or {})
+    initialization_theta = dict(init['theta'])
+    initialization_theta['l_t'] = init['l_t']
+    for name, value in fixed_params.items():
+        options['model']['system_bounds']['theta'][name] = [value, value]
+        initialization_theta[name] = value
+
     processed = {
         'geometry': geometry,
         'stab_derivs': stab_derivs,
         'aero_validity': aero_validity,
         'scaling': scaling,
         'tether_constraint_includes': includes,
-        'fixed_params': dict(user_options['trajectory'].get('fixed_params') or {}),
+        'fixed_params': fixed_params,
+        'initialization_theta': initialization_theta,
         'power_cost_update': float(power_cost_update),
         'estimates': {
             'flight_radius': flight_radius,

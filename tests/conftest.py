@@ -13,4 +13,6 @@ os.environ.setdefault('JAX_ENABLE_X64', 'true')
 
 import jax  # noqa: E402
 
+# the axon site hook overrides JAX_PLATFORMS at import; force local CPU here
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
