@@ -1,0 +1,90 @@
+"""Scaled variable bounds on the NLP vector V, including phase fixing.
+
+Counterpart of /root/reference/awebox/ocp/var_bounds.py:42-223 for the zoh
+discretization: model bounds mapped onto shooting-node entries (periodicity
+skips the final x node), the lift-mode phase-fix classification of dl_t nodes
+(reel-out / reel-in / switching), and the 'simple' dl_t(0)=0 pin.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..model.system import PHI_NAMES
+
+
+def build_v_bounds(ocp) -> tuple[np.ndarray, np.ndarray]:
+    vs = ocp.vstruct
+    model = ocp.model
+    layout = model.layout
+    options = ocp.options
+    n_k, d = ocp.n_k, ocp.d
+
+    lb = np.full(vs.total, -np.inf)
+    ub = np.full(vs.total, np.inf)
+
+    traj = options['user_options']['trajectory']
+    lift_mode = traj['system_type'] == 'lift_mode'
+    phase_fix = traj['lift_mode']['phase_fix'] if lift_mode else None
+    single_reelout = vs.get_theta(np.zeros(vs.total), 't_f').shape[0] == 2
+    periodic = traj['type'] in ('power_cycle', 'tracking')
+
+    mb = model.variable_bounds_scaled
+
+    # theta
+    for name in vs.theta_names:
+        sl = vs.theta_slice(name)
+        msl = layout.slices['theta'][name]
+        if name == 't_f' and single_reelout:
+            lb[sl] = 0.  # components nonnegative; period bounded via ineq
+            ub[sl] = np.inf
+        else:
+            lb[sl] = mb['theta'][0][msl]
+            ub[sl] = mb['theta'][1][msl]
+
+    # phi in [0, 1]
+    lb[vs.phi_slice] = 0.
+    ub[vs.phi_slice] = 1.
+
+    # x at shooting nodes (skip final node when periodic)
+    last_bounded = n_k if periodic else n_k + 1
+    for k in range(last_bounded):
+        sl = vs.x_slice(k)
+        lb[sl] = mb['x'][0]
+        ub[sl] = mb['x'][1]
+
+    # u, z at shooting nodes
+    for k in range(n_k):
+        lb[vs.u_slice(k)] = mb['u'][0]
+        ub[vs.u_slice(k)] = mb['u'][1]
+        lb[vs.z_slice(k)] = mb['z'][0]
+        ub[vs.z_slice(k)] = mb['z'][1]
+
+    # phase fixing on dl_t (var_bounds.py:105-223)
+    if lift_mode and layout.has('x', 'dl_t'):
+        dl_rel = layout.slices['x']['dl_t']
+        dl_scale = model.scaling['x'][dl_rel][0]
+        given_lb = mb['x'][0][dl_rel][0]
+        given_ub = mb['x'][1][dl_rel][0]
+
+        if phase_fix == 'simple':
+            sl = vs.x_slice(0)
+            lb[sl.start + dl_rel.start] = 0.
+            ub[sl.start + dl_rel.start] = 0.
+        elif phase_fix == 'single_reelout' and single_reelout:
+            switch_kdx = ocp.switch_kdx
+            for k in range(n_k + 1):
+                idx = vs.x_slice(k).start + dl_rel.start
+                if k == 0 and periodic:
+                    lo, hi = -np.inf, np.inf
+                elif k == n_k and periodic:
+                    lo, hi = 0., 0.
+                elif k == switch_kdx:
+                    lo, hi = 0., 0.
+                elif k < switch_kdx:
+                    lo, hi = 0., given_ub
+                else:
+                    lo, hi = given_lb, 0.
+                lb[idx] = lo
+                ub[idx] = hi
+
+    return lb, ub

@@ -1,0 +1,142 @@
+"""NLP decision-vector layout for direct collocation.
+
+Flat-vector counterpart of the reference's casadi V struct
+(/root/reference/awebox/ocp/var_struct.py:39-115), zoh control
+parameterization:
+
+    V = [theta, phi, x[0..nk], u[0..nk-1], xdot[0..nk-1], z[0..nk-1],
+         coll_x[nk, d], coll_z[nk, d]]
+
+All indexing is static numpy; jitted code sees only constant-offset gathers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+
+from ..model.system import PHI_NAMES
+
+
+@dataclass
+class VStruct:
+    n_k: int
+    d: int
+    nx: int
+    nu: int
+    nxd: int
+    nz: int
+    theta_names: list        # names in model theta order, t_f possibly dim 2
+    theta_dims: list
+    offsets: Dict[str, int]
+    total: int
+    u_param: str = 'zoh'
+
+    @staticmethod
+    def build(layout, n_k, d, phase_fix_single_reelout: bool, u_param='zoh'):
+        nx = layout.dims['x']
+        nu = layout.dims['u']
+        nxd = layout.dims['xdot']
+        nz = layout.dims['z']
+
+        theta_names = layout.names('theta')
+        theta_dims = []
+        for name in theta_names:
+            dim = layout.dim('theta', name)
+            if name == 't_f' and phase_fix_single_reelout:
+                dim = 2
+            theta_dims.append(dim)
+        ntheta = sum(theta_dims)
+
+        offsets = {}
+        cursor = 0
+        offsets['theta'] = cursor; cursor += ntheta
+        offsets['phi'] = cursor; cursor += len(PHI_NAMES)
+        offsets['x'] = cursor; cursor += (n_k + 1) * nx
+        if u_param == 'zoh':
+            offsets['u'] = cursor; cursor += n_k * nu
+            offsets['xdot'] = cursor; cursor += n_k * nxd
+            offsets['z'] = cursor; cursor += n_k * nz
+        else:
+            raise NotImplementedError('poly controls land with the MPC milestone')
+        offsets['coll_x'] = cursor; cursor += n_k * d * nx
+        offsets['coll_z'] = cursor; cursor += n_k * d * nz
+
+        return VStruct(n_k=n_k, d=d, nx=nx, nu=nu, nxd=nxd, nz=nz,
+                       theta_names=theta_names, theta_dims=theta_dims,
+                       offsets=offsets, total=cursor, u_param=u_param)
+
+    # --- slices -----------------------------------------------------------
+    @property
+    def ntheta(self):
+        return sum(self.theta_dims)
+
+    def theta_slice(self, name) -> slice:
+        cursor = self.offsets['theta']
+        for n, dim in zip(self.theta_names, self.theta_dims):
+            if n == name:
+                return slice(cursor, cursor + dim)
+            cursor += dim
+        raise KeyError(name)
+
+    @property
+    def phi_slice(self) -> slice:
+        return slice(self.offsets['phi'], self.offsets['phi'] + len(PHI_NAMES))
+
+    def x_slice(self, k) -> slice:
+        start = self.offsets['x'] + k * self.nx
+        return slice(start, start + self.nx)
+
+    def u_slice(self, k) -> slice:
+        start = self.offsets['u'] + k * self.nu
+        return slice(start, start + self.nu)
+
+    def xdot_slice(self, k) -> slice:
+        start = self.offsets['xdot'] + k * self.nxd
+        return slice(start, start + self.nxd)
+
+    def z_slice(self, k) -> slice:
+        start = self.offsets['z'] + k * self.nz
+        return slice(start, start + self.nz)
+
+    def coll_x_slice(self, k, j) -> slice:
+        start = self.offsets['coll_x'] + (k * self.d + j) * self.nx
+        return slice(start, start + self.nx)
+
+    def coll_z_slice(self, k, j) -> slice:
+        start = self.offsets['coll_z'] + (k * self.d + j) * self.nz
+        return slice(start, start + self.nz)
+
+    # --- reshaping views (for jnp arrays) ----------------------------------
+    def get_x_all(self, V):
+        """(n_k+1, nx)"""
+        o = self.offsets['x']
+        return V[o:o + (self.n_k + 1) * self.nx].reshape(self.n_k + 1, self.nx)
+
+    def get_u_all(self, V):
+        o = self.offsets['u']
+        return V[o:o + self.n_k * self.nu].reshape(self.n_k, self.nu)
+
+    def get_xdot_all(self, V):
+        o = self.offsets['xdot']
+        return V[o:o + self.n_k * self.nxd].reshape(self.n_k, self.nxd)
+
+    def get_z_all(self, V):
+        o = self.offsets['z']
+        return V[o:o + self.n_k * self.nz].reshape(self.n_k, self.nz)
+
+    def get_coll_x(self, V):
+        """(n_k, d, nx)"""
+        o = self.offsets['coll_x']
+        return V[o:o + self.n_k * self.d * self.nx].reshape(self.n_k, self.d, self.nx)
+
+    def get_coll_z(self, V):
+        o = self.offsets['coll_z']
+        return V[o:o + self.n_k * self.d * self.nz].reshape(self.n_k, self.d, self.nz)
+
+    def get_theta(self, V, name):
+        return V[self.theta_slice(name)]
+
+    def get_phi(self, V):
+        return V[self.phi_slice]

@@ -42,9 +42,9 @@ class IPOptions:
     kappa_eps: float = 10.0      # barrier-subproblem tolerance factor
     tau_min: float = 0.99
     max_iter: int = 3000
-    delta_w_init: float = 1e-8
+    delta_w_init: float = 1e-6
     delta_w_max: float = 1e10
-    delta_c: float = 1e-8
+    delta_c: float = 1e-7
     armijo_eta: float = 1e-4
     max_ls: int = 25
     bound_relax: float = 1e-8
@@ -116,50 +116,57 @@ class InteriorPointSolver:
 
         @jax.jit
         def kkt_solve(gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
-                      lbw, ubw, mu, delta_w, delta_c):
+                      lbw, ubw, free, mu, delta_w, delta_c):
             # barrier diagonal
             dl = jnp.maximum(w - lbw, 1e-20)
             du = jnp.maximum(ubw - w, 1e-20)
             sigma = zl / dl + zu / du
 
             W = H + jnp.diag(sigma) + delta_w * jnp.eye(self.n)
+            # exact elimination of pinned variables: identity rows/cols on the
+            # pinned block, zeroed Jacobian columns, zeroed rhs => dw_pin = 0
+            W = W * (free[:, None] * free[None, :]) + jnp.diag(1. - free)
 
-            A = jnp.concatenate([JE, JI], axis=0)
+            A = jnp.concatenate([JE, JI], axis=0) * free[None, :]
             lam_safe = jnp.maximum(lam, 1e-12)
-            D = jnp.concatenate([
+            # D for the inertia test must be > 0 on all rows (Forsgren-Gill);
+            # the solve itself keeps equality rows exact - a positive delta_c
+            # there would turn regularized steps into dy ~ cE/delta_c dual
+            # explosions.
+            D_test = jnp.concatenate([
                 delta_c * jnp.ones(n_eq),
+                s / lam_safe + delta_c * jnp.ones(n_ineq)])
+            D = jnp.concatenate([
+                jnp.zeros(n_eq),
                 s / lam_safe + delta_c * jnp.ones(n_ineq)])
             r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
 
             # primal-dual dual-infeasibility rhs (bound-dual terms eliminate
             # to the centered form): r1 = -(gradf + A^T nu - mu/dl + mu/du)
-            r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du)
+            r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
-            # Doubly-augmented condensed solve (Forsgren-Gill): with D > 0,
-            # chol(M) of M = W + A^T D^-1 A succeeds iff the KKT matrix
-            # [W, A^T; A, -D] has the correct inertia (n, m, 0) - this
-            # replaces MA57's inertia detection with pure MXU-friendly algebra.
-            Dinv_sqrt = 1.0 / jnp.sqrt(D)
+            # Inertia certificate (Forsgren-Gill): with D > 0, the KKT matrix
+            # [W, A^T; A, -D] has the correct inertia (n, m, 0) iff
+            # M = W + A^T D^-1 A is positive definite - chol(M) succeeding
+            # replaces MA57's inertia detection with MXU-friendly algebra.
+            Dinv_sqrt = 1.0 / jnp.sqrt(D_test)
             As = A * Dinv_sqrt[:, None]
             M = W + As.T @ As
             LM = jnp.linalg.cholesky(M)
             ok = jnp.all(jnp.isfinite(LM))
-            LM = _finite(LM, 1.0)
 
-            def msolve(B):
-                t = jax.scipy.linalg.solve_triangular(LM, B, lower=True)
-                return jax.scipy.linalg.solve_triangular(LM.T, t, lower=False)
-
-            # system rows: W dw + A^T dnu = r1 ; A dw - D dnu = -r2
-            # eliminating dnu = D^-1 (A dw + r2):
-            #   M dw = r1 - A^T D^-1 r2
-            rhs_w = r1 - A.T @ (r2 / D)
-            dw = msolve(rhs_w)
-            # one step of iterative refinement on the condensed system to fight
-            # the D^-1 ~ 1/delta_c conditioning
-            resid = rhs_w - (W @ dw + As.T @ (As @ dw))
-            dw = dw + msolve(resid)
-            dnu = (A @ dw + r2) / D
+            # direction from the full augmented system (accurate regardless of
+            # the 1/delta_c conditioning of the condensed form), with one step
+            # of iterative refinement
+            m_tot = n_eq + n_ineq
+            K = jnp.block([[W, A.T], [A, -jnp.diag(D)]])
+            rhs = jnp.concatenate([r1, -r2])
+            lu, piv = jax.scipy.linalg.lu_factor(K)
+            sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            resid = rhs - K @ sol
+            sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
+            dw = sol[:self.n] * free
+            dnu = sol[self.n:]
 
             dy = dnu[:n_eq]
             dlam = dnu[n_eq:]
@@ -172,7 +179,8 @@ class InteriorPointSolver:
         self._kkt_solve = kkt_solve
 
         @jax.jit
-        def barrier_merit(w, s, p, mu, nu, lbw, ubw):
+        def barrier_phi_theta(w, s, p, mu, lbw, ubw):
+            """(barrier objective phi, constraint violation theta)."""
             phi = f(w, p)
             dl = w - lbw
             du = ubw - w
@@ -187,13 +195,13 @@ class InteriorPointSolver:
             feasible = jnp.logical_and(jnp.all(w > lbw), jnp.all(w < ubw))
             if n_ineq:
                 feasible = jnp.logical_and(feasible, jnp.all(s > 0))
-            val = jnp.where(feasible, phi + nu * theta, jnp.inf)
-            return val, theta
+            phi = jnp.where(feasible, phi, jnp.inf)
+            return phi, theta
 
-        self._barrier_merit = barrier_merit
+        self._barrier_phi_theta = barrier_phi_theta
 
         @jax.jit
-        def kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw):
+        def kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw, free):
             gradf = jax.grad(f)(w, p)
             r_w = gradf - zl + zu
             if n_eq:
@@ -208,7 +216,7 @@ class InteriorPointSolver:
             n_mults = n_eq + n_ineq + 2 * self.n
             s_d = jnp.maximum(s_max, mults / jnp.maximum(n_mults, 1)) / s_max
 
-            err_d = jnp.max(jnp.abs(r_w)) / s_d
+            err_d = jnp.max(jnp.abs(r_w * free)) / s_d
             err_p = 0.
             if n_eq:
                 err_p = jnp.maximum(err_p, jnp.max(jnp.abs(eq(w, p))))
@@ -228,8 +236,26 @@ class InteriorPointSolver:
         self._kkt_error = kkt_error
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def split_pins(lbw, ubw):
+        """Detect fixed variables (lb == ub): they are eliminated exactly by
+        masking (IPOPT's fixed_variable_treatment=make_parameter analog) while
+        keeping problem shapes static across homotopy steps. Returns
+        (lbw_free, ubw_free, free_mask, center)."""
+        lbw = np.asarray(lbw, dtype=float)
+        ubw = np.asarray(ubw, dtype=float)
+        center = 0.5 * (lbw + ubw)
+        eps_pin = 1e-9 * (1. + np.abs(np.where(np.isfinite(center), center, 0.)))
+        pinned = (ubw - lbw) < 2. * eps_pin
+        lbw_free = np.where(pinned, -np.inf, lbw)
+        ubw_free = np.where(pinned, np.inf, ubw)
+        return lbw_free, ubw_free, (1. - pinned.astype(float)), \
+            np.where(pinned, center, 0.)
+
     def init_state(self, w0, p, lbw, ubw, y0=None, lam0=None, mu=None):
         o = self.opts
+        lbw, ubw, free, center = self.split_pins(lbw, ubw)
+        w0 = jnp.where(free > 0.5, jnp.asarray(w0), center)
         lbw = jnp.asarray(lbw)
         ubw = jnp.asarray(ubw)
         # push strictly inside bounds
@@ -251,19 +277,37 @@ class InteriorPointSolver:
         return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
 
     # ------------------------------------------------------------------
-    def solve(self, w0, p, lbw, ubw, state=None, **kw) -> IPResult:
-        o = self.opts
+    def solve(self, w0, p, lbw, ubw, state=None, tol=None, mu_init=None,
+              mu_target=None, max_iter=None, verbose=None, **kw) -> IPResult:
+        import copy as _copy
+        o = _copy.copy(self.opts)
+        lbw, ubw, free_np, center_np = self.split_pins(lbw, ubw)
+        free = jnp.asarray(free_np)
+        pin_center = jnp.asarray(center_np)
+        if tol is not None:
+            o.tol = tol
+        if mu_init is not None:
+            o.mu_init = mu_init
+        if mu_target is not None:
+            o.mu_target = mu_target
+        if max_iter is not None:
+            o.max_iter = max_iter
+        if verbose is not None:
+            o.verbose = verbose
         lbw = jnp.asarray(lbw, dtype=jnp.asarray(w0).dtype)
         ubw = jnp.asarray(ubw, dtype=jnp.asarray(w0).dtype)
         if state is None:
+            kw.setdefault('mu', o.mu_init)
             state = self.init_state(w0, p, lbw, ubw, **kw)
         w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
         zl, zu = state['zl'], state['zu']
         mu = state['mu']
+        w = jnp.where(free > 0.5, w, pin_center)
 
         mu_min = max(o.mu_target, o.tol / 10.)
         delta_w_last = 0.0
-        nu = 1.0
+        filter_list = []
+        theta_init = None
         status = 'max_iter'
         success = False
         it = 0
@@ -273,28 +317,33 @@ class InteriorPointSolver:
             if not np.isfinite(float(fval)):
                 status = 'nan_objective'
                 break
+            if not (bool(jnp.all(jnp.isfinite(H))) and bool(jnp.all(jnp.isfinite(JE)))
+                    and bool(jnp.all(jnp.isfinite(JI))) and bool(jnp.all(jnp.isfinite(gradf)))):
+                status = 'nan_derivatives'
+                break
 
             # convergence at the target barrier level
             err_target = float(self._kkt_error(w, s, y, lam, zl, zu, p,
                                                mu_min if o.mu_target > 0 else 0.,
-                                               lbw, ubw))
+                                               lbw, ubw, free))
             if err_target <= o.tol:
                 success = True
                 status = 'solved'
                 break
 
             # barrier subproblem convergence -> decrease mu
-            err_mu = float(self._kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw))
-            while err_mu <= o.kappa_eps * mu and mu > mu_min + 1e-16:
+            err_mu = float(self._kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw, free))
+            if err_mu <= o.kappa_eps * mu and mu > mu_min + 1e-16:
                 mu = max(mu_min, min(o.mu_linear_decrease * mu,
                                      mu ** o.mu_superlinear_power))
+                filter_list = []
 
             # KKT solve with primal regularization ladder
             delta_w = 0.0
             for trial in range(12):
                 dw, dy, dlam, ds, dzl, dzu, ok = self._kkt_solve(
                     gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
-                    lbw, ubw, mu, delta_w, o.delta_c)
+                    lbw, ubw, free, mu, delta_w, o.delta_c)
                 if bool(ok) and np.all(np.isfinite(np.asarray(dw))):
                     break
                 if delta_w == 0.0:
@@ -332,37 +381,48 @@ class InteriorPointSolver:
             if self.n_ineq:
                 alpha_z = min(alpha_z, ftb(lam, dlam))
 
-            # penalty parameter
-            duals_inf = float(max(
-                np.max(np.abs(np.asarray(y)), initial=0.),
-                np.max(np.abs(np.asarray(lam)), initial=0.),
-                np.max(np.abs(np.asarray(y + alpha_max * dy)), initial=0.),
-                np.max(np.abs(np.asarray(lam + alpha_max * dlam)), initial=0.)))
-            nu = max(nu, 1.1 * duals_inf + 1e-6)
+            # filter line search (Waechter-Biegler style, lean variant)
+            phi0_j, theta0_j = self._barrier_phi_theta(w, s, p, mu, lbw, ubw)
+            phi_c, theta_c = float(phi0_j), float(theta0_j)
+            if theta_init is None:
+                theta_init = max(theta_c, 1e-8)
+            theta_min = 1e-4 * max(1., theta_init)
 
-            phi0, theta0 = self._barrier_merit(w, s, p, mu, nu, lbw, ubw)
-            phi0 = float(phi0)
-
-            # directional derivative of the merit function
-            ddir = float(gradf @ dw
-                         - mu * jnp.sum(jnp.where(jnp.isfinite(lbw), dw / jnp.maximum(dl, 1e-300), 0.))
-                         + mu * jnp.sum(jnp.where(jnp.isfinite(ubw), dw / jnp.maximum(du, 1e-300), 0.)))
+            # barrier directional derivative
+            ddphi = float(gradf @ dw
+                          - mu * jnp.sum(jnp.where(jnp.isfinite(lbw), dw / jnp.maximum(dl, 1e-300), 0.))
+                          + mu * jnp.sum(jnp.where(jnp.isfinite(ubw), dw / jnp.maximum(du, 1e-300), 0.)))
             if self.n_ineq:
-                ddir += float(-mu * jnp.sum(ds / jnp.maximum(s, 1e-300)))
-            ddir -= nu * float(theta0)
+                ddphi += float(-mu * jnp.sum(ds / jnp.maximum(s, 1e-300)))
 
+            gamma_theta, gamma_phi = 1e-5, 1e-8
             alpha = alpha_max
             accepted = False
             for _ in range(o.max_ls):
                 w_new = w + alpha * dw
                 s_new = s + alpha * ds if self.n_ineq else s
-                phi_a, theta_a = self._barrier_merit(w_new, s_new, p, mu, nu, lbw, ubw)
-                phi_a = float(phi_a)
-                if np.isfinite(phi_a) and (
-                        phi_a <= phi0 + o.armijo_eta * alpha * min(ddir, 0.)
-                        or phi_a <= phi0 - 1e-12 * abs(phi0)):
-                    accepted = True
-                    break
+                phi_a_j, theta_a_j = self._barrier_phi_theta(w_new, s_new, p, mu, lbw, ubw)
+                phi_a, theta_a = float(phi_a_j), float(theta_a_j)
+                if np.isfinite(phi_a):
+                    in_filter = any(theta_a >= th_f and phi_a >= ph_f
+                                    for (th_f, ph_f) in filter_list)
+                    if not in_filter:
+                        if theta_c <= theta_min and ddphi < 0:
+                            # f-type: Armijo on the barrier objective
+                            if phi_a <= phi_c + o.armijo_eta * alpha * ddphi:
+                                accepted = True
+                                break
+                        if (theta_a <= (1. - gamma_theta) * theta_c
+                                or phi_a <= phi_c - gamma_phi * theta_c):
+                            # h-type: progress on feasibility or objective
+                            if not (theta_c <= theta_min and ddphi < 0):
+                                accepted = True
+                                filter_list.append((
+                                    (1. - gamma_theta) * theta_c,
+                                    phi_c - gamma_phi * theta_c))
+                                if len(filter_list) > 60:
+                                    filter_list.pop(0)
+                                break
                 alpha *= 0.5
             if not accepted:
                 # watchdog: take a tiny step to escape, with more regularization next time
@@ -370,7 +430,7 @@ class InteriorPointSolver:
                 delta_w_last = max(delta_w_last, o.delta_w_init) * 10.
 
             w = w + alpha * dw
-            y = y + alpha_z * dy
+            y = y + alpha * dy
             lam = jnp.maximum(lam + alpha_z * dlam, 1e-16) if self.n_ineq else lam
             if self.n_ineq:
                 s = jnp.maximum(s + alpha * ds, 1e-16)
@@ -385,12 +445,12 @@ class InteriorPointSolver:
             zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
             zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
 
-            if o.verbose and (it % 10 == 0 or it == 1):
+            if o.verbose and (it % 10 == 0 or it <= 30):
                 print(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '
                       f'alpha={alpha:8.1e} dw={delta_w:8.1e} f={float(fval):13.6e}')
 
         err_final = float(self._kkt_error(w, s, y, lam, zl, zu, p,
-                                          mu_min if o.mu_target > 0 else 0., lbw, ubw))
+                                          mu_min if o.mu_target > 0 else 0., lbw, ubw, free))
         return IPResult(w=w, y=y, lam=lam, s=s, zl=zl, zu=zu, mu=mu,
                         kkt_error=err_final, iterations=it,
                         success=success or err_final <= o.tol * 100,
