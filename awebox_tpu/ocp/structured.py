@@ -1,0 +1,374 @@
+"""Structure-exploiting NLP derivatives for the interior-point solver.
+
+The direct-collocation Lagrangian separates into per-node local functions plus
+linear coupling (continuity/periodicity) and a small global term. This module
+computes the NLP's constraint Jacobians and Lagrangian Hessian as vmapped
+per-node dense blocks scattered into the full matrices - the TPU-native
+counterpart of CasADi's sparse AD + Function.map + MA57's sparse handling
+(reference ocp/constraints.py:239-278). Per-iteration cost becomes
+O(nodes x local^2) batched work instead of O(n) full-graph sweeps.
+
+Local variables of a collocation node (k, j):
+    [x_k, coll_x[k, 0..d-1], u_k, coll_z[k, j], theta_V, phi]
+Local variables of a shooting node k:
+    [x_k, xdot_k, u_k, z_k, theta_V, phi]
+theta/phi are shared (arrowhead coupling) - their Hessian blocks accumulate
+across nodes.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.system import PHI_NAMES
+from .transcription import OCP, REG_CATEGORIES
+
+
+def _idx(sl: slice) -> np.ndarray:
+    return np.arange(sl.start, sl.stop)
+
+
+def make_structured_derivs(ocp: OCP) -> Callable:
+    model = ocp.model
+    layout = model.layout
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+    nx, nu, nxd, nz = vs.nx, vs.nu, vs.nxd, vs.nz
+    n = vs.total
+    ntheta_model = layout.dims['theta']
+    ntheta_V = vs.ntheta
+    nphi = len(PHI_NAMES)
+    h = 1. / n_k
+
+    C = ocp.coll.coeff_collocation
+    cont = ocp.coll.coeff_continuity
+    int_w = ocp.coll.quad_weights
+
+    n_eq_m = model.n_eq
+    n_ineq_m = model.n_ineq
+    keep_rows = np.asarray(ocp.keep_rows)
+    n_sh = len(keep_rows)
+
+    tf_sl_V = vs.theta_slice('t_f')
+    tf_dim = tf_sl_V.stop - tf_sl_V.start
+    tf_model_pos = layout.slices['theta']['t_f'].start
+
+    # --- gather index arrays ----------------------------------------------
+    theta_idx = _idx(slice(vs.offsets['theta'], vs.offsets['theta'] + ntheta_V))
+    phi_idx = _idx(vs.phi_slice)
+
+    coll_idx = np.zeros((n_k * d, nx * (d + 1) + nu + nz + ntheta_V + nphi), dtype=np.int32)
+    c_rows = np.zeros((n_k * d, d + 1))
+    sel_rows = np.zeros((n_k * d, d + 1))
+    phase_ws = np.zeros((n_k * d, tf_dim))
+    int_ws = np.zeros(n_k * d)
+    for k in range(n_k):
+        for j in range(d):
+            i = k * d + j
+            cols = [_idx(vs.x_slice(k))]
+            for r in range(d):
+                cols.append(_idx(vs.coll_x_slice(k, r)))
+            cols += [_idx(vs.u_slice(k)), _idx(vs.coll_z_slice(k, j)),
+                     theta_idx, phi_idx]
+            coll_idx[i] = np.concatenate(cols)
+            c_rows[i] = C[:, j + 1]
+            sel_rows[i, j + 1] = 1.0
+            phase_ws[i, ocp.phase_idx[k] if tf_dim == 2 else 0] = 1.0
+            int_ws[i] = int_w[j]
+
+    sh_idx = np.zeros((n_k, nx + nxd + nu + nz + ntheta_V + nphi), dtype=np.int32)
+    sh_phase_ws = np.zeros((n_k, tf_dim))
+    for k in range(n_k):
+        sh_idx[k] = np.concatenate([
+            _idx(vs.x_slice(k)), _idx(vs.xdot_slice(k)), _idx(vs.u_slice(k)),
+            _idx(vs.z_slice(k)), theta_idx, phi_idx])
+        sh_phase_ws[k, ocp.phase_idx[k] if tf_dim == 2 else 0] = 1.0
+
+    n_loc_c = coll_idx.shape[1]
+    n_loc_s = sh_idx.shape[1]
+
+    # offsets of pieces inside the local vectors
+    c_x0 = slice(0, nx)
+    c_cx = slice(nx, nx * (d + 1))
+    c_u = slice(nx * (d + 1), nx * (d + 1) + nu)
+    c_z = slice(c_u.stop, c_u.stop + nz)
+    c_th = slice(c_z.stop, c_z.stop + ntheta_V)
+    c_phi = slice(c_th.stop, c_th.stop + nphi)
+
+    s_x = slice(0, nx)
+    s_xd = slice(nx, nx + nxd)
+    s_u = slice(nx + nxd, nx + nxd + nu)
+    s_z = slice(s_u.stop, s_u.stop + nz)
+    s_th = slice(s_z.stop, s_z.stop + ntheta_V)
+    s_phi = slice(s_th.stop, s_th.stop + nphi)
+
+    # model theta vector from V-theta entries + phase weight
+    theta_names = vs.theta_names
+    theta_V_offsets = {}
+    cursor = 0
+    for name, dim in zip(theta_names, vs.theta_dims):
+        theta_V_offsets[name] = slice(cursor, cursor + dim)
+        cursor += dim
+
+    def model_theta_from_entries(theta_entries, phase_w):
+        out = jnp.zeros(ntheta_model)
+        for name in theta_names:
+            msl = layout.slices['theta'][name]
+            if name == 't_f':
+                tf = phase_w @ theta_entries[theta_V_offsets['t_f']]
+                out = out.at[tf_model_pos].set(tf)
+            else:
+                out = out.at[msl].set(theta_entries[theta_V_offsets[name]])
+        return out
+
+    # --- per-node model-vec assembly --------------------------------------
+    def coll_model_vec(local, c_row, sel_row, phase_w):
+        x_stack = local[:nx * (d + 1)].reshape(d + 1, nx)
+        theta_entries = local[c_th]
+        tf = phase_w @ theta_entries[theta_V_offsets['t_f']]
+        xdot = (c_row @ x_stack) / (h * tf)
+        x_node = sel_row @ x_stack
+        theta_model = model_theta_from_entries(theta_entries, phase_w)
+        return jnp.concatenate([x_node, xdot, local[c_u], local[c_z], theta_model])
+
+    def sh_model_vec(local, phase_w):
+        theta_model = model_theta_from_entries(local[s_th], phase_w)
+        return jnp.concatenate([local[s_x], local[s_xd], local[s_u],
+                                local[s_z], theta_model])
+
+    def coll_eq_local(local, c_row, sel_row, phase_w, theta0):
+        mv = coll_model_vec(local, c_row, sel_row, phase_w)
+        return model.eq_fn(mv, local[c_phi], theta0)
+
+    def sh_eq_local(local, phase_w, theta0):
+        mv = sh_model_vec(local, phase_w)
+        return model.eq_fn(mv, local[s_phi], theta0)[keep_rows]
+
+    def sh_ineq_local(local, phase_w, theta0):
+        mv = sh_model_vec(local, phase_w)
+        return model.ineq_fn(mv, local[s_phi], theta0)
+
+    # node objective terms: quadratic regularization + beta cost
+    cat_mask = np.asarray(ocp.cat_mask_matrix)
+    norm = ocp.normalization
+    kite_dof = model.cfg['kite_dof']
+    arch = model.arch
+
+    traj_type = ocp.options['user_options']['trajectory']['type']
+    psi_i = PHI_NAMES.index('psi')
+
+    def tracking_factor(phi_vec):
+        # the homotopy blend multiplying the tracking problem
+        # (objective.py:424-455)
+        if traj_type == 'power_cycle':
+            return phi_vec[psi_i]
+        return phi_vec[PHI_NAMES.index('upsilon')] * phi_vec[PHI_NAMES.index('nu')] \
+            * phi_vec[PHI_NAMES.index('eta')] * phi_vec[psi_i]
+
+    def coll_cost_local(local, c_row, sel_row, phase_w, iw, ref_vec, P, theta0):
+        mv = coll_model_vec(local, c_row, sel_row, phase_w)
+        diffsq = P['weights'] * (mv - ref_vec) ** 2
+        per_cat = cat_mask @ diffsq
+        cost = 0.
+        for i, cat in enumerate(REG_CATEGORIES):
+            factor = tracking_factor(local[c_phi]) if cat == 'tracking' else 1.0
+            cost = cost + factor * P['cost'][cat] / norm[cat] * per_cat[i]
+        if kite_dof == 6:
+            from ..model.aero import kite_aero as _ka
+            si = model.to_si(mv)
+            beta_sq = 0.
+            for kite in arch.kite_nodes:
+                label = arch.node_label(kite)
+                kite_dcm = si['x']['r' + label].reshape(3, 3)
+                vec_u = _ka.get_u_eff_earth(model.cfg, si, theta0, arch, kite)
+                beta_sq = beta_sq + _ka.get_beta(vec_u, kite_dcm) ** 2
+            cost = cost + P['cost']['beta'] / norm['beta'] * beta_sq
+        return iw * cost
+
+    def coll_scalar(local, c_row, sel_row, phase_w, iw, ref_vec, lam_node, P, theta0):
+        return lam_node @ coll_eq_local(local, c_row, sel_row, phase_w, theta0) \
+            + coll_cost_local(local, c_row, sel_row, phase_w, iw, ref_vec, P, theta0)
+
+    def sh_scalar(local, phase_w, lam_eq_node, lam_ineq_node, theta0):
+        val = lam_eq_node @ sh_eq_local(local, phase_w, theta0)
+        if n_ineq_m:
+            val = val + lam_ineq_node @ sh_ineq_local(local, phase_w, theta0)
+        return val
+
+    # --- global objective piece: power + time cost -------------------------
+    e_pos_in_x = layout.slices['x']['e'].start if layout.has('x', 'e') else None
+    eN_idx = vs.x_slice(n_k).start + e_pos_in_x
+    psi_V_idx = vs.phi_slice.start + psi_i
+    glob_idx = np.concatenate([[eN_idx], _idx(tf_sl_V), [psi_V_idx]])
+    switch_kdx = ocp.switch_kdx
+
+    def global_cost(gvars, P):
+        e_end = gvars[0]
+        tf = gvars[1:-1]
+        psi = gvars[-1]
+        if tf_dim == 2:
+            T = tf[0] * switch_kdx / n_k + tf[1] * (n_k - switch_kdx) / n_k
+            T_ref = P['ref'][tf_sl_V][0] * switch_kdx / n_k \
+                + P['ref'][tf_sl_V][1] * (n_k - switch_kdx) / n_k
+        else:
+            T = tf[0]
+            T_ref = P['ref'][tf_sl_V][0]
+        cost = (1. - psi) * P['cost']['power'] * (-1.) * e_end / T
+        cost = cost + P['cost']['t_f'] * (T - T_ref) ** 2
+        return cost
+
+    # --- linear constraint rows (constant triplets) ------------------------
+    eq_slices = ocp.eq_slices
+    triplets_rows, triplets_cols, triplets_vals = [], [], []
+
+    if 'initial_e' in eq_slices:
+        r0 = eq_slices['initial_e'].start
+        triplets_rows.append([r0])
+        triplets_cols.append([vs.x_slice(0).start + e_pos_in_x])
+        triplets_vals.append([1.0])
+
+    cont_rows = eq_slices['continuity']
+    for k in range(n_k):
+        base = cont_rows.start + k * nx
+        for i in range(nx):
+            triplets_rows.append([base + i])
+            triplets_cols.append([vs.x_slice(k + 1).start + i])
+            triplets_vals.append([1.0])
+            # minus the continuity-weighted stack
+            triplets_rows.append([base + i])
+            triplets_cols.append([vs.x_slice(k).start + i])
+            triplets_vals.append([-cont[0]])
+            for r in range(d):
+                triplets_rows.append([base + i])
+                triplets_cols.append([vs.coll_x_slice(k, r).start + i])
+                triplets_vals.append([-cont[r + 1]])
+
+    radau = ocp.coll.scheme == 'radau'
+    if ocp.periodic and 'periodic' in eq_slices:
+        p_rows = eq_slices['periodic']
+        pidx = np.asarray(ocp.periodic_idx)
+        for i, xi in enumerate(pidx):
+            triplets_rows.append([p_rows.start + i])
+            triplets_cols.append([vs.x_slice(0).start + int(xi)])
+            triplets_vals.append([1.0])
+            triplets_rows.append([p_rows.start + i])
+            if radau:
+                triplets_cols.append([vs.coll_x_slice(n_k - 1, d - 1).start + int(xi)])
+            else:
+                triplets_cols.append([vs.x_slice(n_k).start + int(xi)])
+            triplets_vals.append([-1.0])
+
+    lin_rows = jnp.asarray(np.concatenate(triplets_rows).astype(np.int32))
+    lin_cols = jnp.asarray(np.concatenate(triplets_cols).astype(np.int32))
+    lin_vals = jnp.asarray(np.concatenate(triplets_vals))
+
+    # t_f bound inequalities (linear in tf entries)
+    ineq_lin = []
+    if ocp.single_reelout and 't_f_bounds' in ocp.ineq_slices:
+        tf_bounds_rows = ocp.ineq_slices['t_f_bounds']
+        scale = ocp.options['nlp']['phase_fix_reelout']
+        wts = np.array([switch_kdx / n_k, (n_k - switch_kdx) / n_k]) / scale
+        for i, col in enumerate(_idx(tf_sl_V)):
+            ineq_lin.append((tf_bounds_rows.start, int(col), wts[i]))
+            ineq_lin.append((tf_bounds_rows.start + 1, int(col), -wts[i]))
+
+    # --- jitted assembly ----------------------------------------------------
+    coll_idx_j = jnp.asarray(coll_idx)
+    sh_idx_j = jnp.asarray(sh_idx)
+    c_rows_j = jnp.asarray(c_rows)
+    sel_rows_j = jnp.asarray(sel_rows)
+    phase_ws_j = jnp.asarray(phase_ws)
+    sh_phase_ws_j = jnp.asarray(sh_phase_ws)
+    int_ws_j = jnp.asarray(int_ws)
+    keep_rows_j = jnp.asarray(keep_rows)
+
+    coll_rows0 = eq_slices['collocation'].start
+    sh_rows0 = eq_slices['shooting'].start
+    path_rows0 = ocp.ineq_slices['path'].start if n_ineq_m else 0
+
+    n_eq_total = ocp.n_eq
+    n_ineq_total = ocp.n_ineq
+    f_fn = ocp.f_fn
+    eq_fn = ocp.eq_fn
+    ineq_fn = ocp.ineq_fn
+
+    # reference model-vec per coll node, from P (zero xdot)
+    def ref_nodes_from_P(P):
+        Vref = P['ref']
+        locs = Vref[coll_idx_j]
+        zero_tf_guard = locs  # xdot of ref is zero by construction below
+        def ref_vec(local, c_row, sel_row, phase_w):
+            x_stack = local[:nx * (d + 1)].reshape(d + 1, nx)
+            theta_entries = local[c_th]
+            theta_model = model_theta_from_entries(theta_entries, phase_w)
+            x_node = sel_row @ x_stack
+            return jnp.concatenate([x_node, jnp.zeros(nxd), local[c_u],
+                                    local[c_z], theta_model])
+        return jax.vmap(ref_vec)(locs, c_rows_j, sel_rows_j, phase_ws_j)
+
+    @jax.jit
+    def derivs(w, y, lam, P):
+        theta0 = P['theta0']
+        fval = f_fn(w, P)
+        gradf = jax.grad(f_fn)(w, P)
+        cE = eq_fn(w, P)
+        cI = ineq_fn(w, P)
+
+        coll_locals = w[coll_idx_j]
+        sh_locals = w[sh_idx_j]
+
+        # --- Jacobians ---
+        J_coll = jax.vmap(jax.jacfwd(coll_eq_local), in_axes=(0, 0, 0, 0, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
+        J_sh = jax.vmap(jax.jacfwd(sh_eq_local), in_axes=(0, 0, None))(
+            sh_locals, sh_phase_ws_j, theta0)
+
+        JE = jnp.zeros((n_eq_total, n))
+        rows_c = (coll_rows0 + jnp.arange(n_k * d)[:, None] * n_eq_m
+                  + jnp.arange(n_eq_m)[None, :])
+        JE = JE.at[rows_c[:, :, None], coll_idx_j[:, None, :]].add(J_coll)
+        rows_s = (sh_rows0 + jnp.arange(n_k)[:, None] * n_sh
+                  + jnp.arange(n_sh)[None, :])
+        JE = JE.at[rows_s[:, :, None], sh_idx_j[:, None, :]].add(J_sh)
+        JE = JE.at[lin_rows, lin_cols].add(lin_vals)
+
+        JI = jnp.zeros((n_ineq_total, n))
+        if n_ineq_m:
+            J_path = jax.vmap(jax.jacfwd(sh_ineq_local), in_axes=(0, 0, None))(
+                sh_locals, sh_phase_ws_j, theta0)
+            rows_p = (path_rows0 + jnp.arange(n_k)[:, None] * n_ineq_m
+                      + jnp.arange(n_ineq_m)[None, :])
+            JI = JI.at[rows_p[:, :, None], sh_idx_j[:, None, :]].add(J_path)
+        for (r, c, v) in ineq_lin:
+            JI = JI.at[r, c].add(v)
+
+        # --- Hessian of the Lagrangian ---
+        lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
+        lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
+        ref_vecs = ref_nodes_from_P(P)
+
+        H_coll = jax.vmap(jax.hessian(coll_scalar),
+                          in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+            ref_vecs, lam_coll, P, theta0)
+        if n_ineq_m:
+            lam_path = lam[ocp.ineq_slices['path'].start:
+                           ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
+        else:
+            lam_path = jnp.zeros((n_k, 0))
+        H_sh = jax.vmap(jax.hessian(sh_scalar), in_axes=(0, 0, 0, 0, None))(
+            sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
+
+        H = jnp.zeros((n, n))
+        H = H.at[coll_idx_j[:, :, None], coll_idx_j[:, None, :]].add(H_coll)
+        H = H.at[sh_idx_j[:, :, None], sh_idx_j[:, None, :]].add(H_sh)
+
+        H_glob = jax.hessian(global_cost)(w[jnp.asarray(glob_idx)], P)
+        H = H.at[jnp.asarray(glob_idx)[:, None], jnp.asarray(glob_idx)[None, :]].add(H_glob)
+
+        return fval, gradf, cE, cI, JE, JI, H
+
+    return derivs

@@ -50,6 +50,12 @@ class OCP:
     tf_per_k_fn: Callable          # (V) -> (n_k,)
     outputs_on_coll_fn: Callable = None   # (V, P) -> pytree over (n_k*d) nodes
     cost_components_fn: Callable = None   # (V, P) -> dict of scalars
+    keep_rows: np.ndarray = None          # shooting-eq model rows kept
+    periodic_idx: np.ndarray = None       # x entries in the periodicity map
+    cat_mask_matrix: np.ndarray = None    # (ncat, nv_model) regularization masks
+    normalization: dict = None            # per-category cost normalization
+    single_reelout: bool = False
+    periodic: bool = False
 
 
 def _model_node_order(layout):
@@ -404,4 +410,8 @@ def build_ocp(model: Model, options: dict) -> OCP:
                n_eq=n_eq_total, n_ineq=n_ineq_total,
                time_period_fn=time_period, tf_per_k_fn=tf_per_k,
                outputs_on_coll_fn=outputs_on_coll,
-               cost_components_fn=cost_components)
+               cost_components_fn=cost_components,
+               keep_rows=keep_rows, periodic_idx=np.asarray(periodic_idx),
+               cat_mask_matrix=np.asarray(cat_mask_matrix),
+               normalization=normalization,
+               single_reelout=single_reelout, periodic=periodic)

@@ -79,7 +79,8 @@ class InteriorPointSolver:
     steps (which only change p and the bounds) reuse the same compilation.
     """
 
-    def __init__(self, f, eq, ineq, n, n_eq, n_ineq, options: IPOptions = None):
+    def __init__(self, f, eq, ineq, n, n_eq, n_ineq, options: IPOptions = None,
+                 derivs_fn=None):
         self.f = f
         self.eq = eq
         self.ineq = ineq
@@ -88,6 +89,10 @@ class InteriorPointSolver:
         self.n_ineq = n_ineq
         self.opts = options or IPOptions()
         self._build()
+        if derivs_fn is not None:
+            # structure-exploiting override: (w, y, lam, p) ->
+            # (fval, gradf, cE, cI, JE, JI, H)
+            self._derivs = derivs_fn
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -116,7 +121,7 @@ class InteriorPointSolver:
 
         @jax.jit
         def kkt_solve(gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
-                      lbw, ubw, free, mu, delta_w, delta_c):
+                      lbw, ubw, free, mu, delta_w, delta_c, delta_ce):
             # barrier diagonal
             dl = jnp.maximum(w - lbw, 1e-20)
             du = jnp.maximum(ubw - w, 1e-20)
@@ -137,7 +142,7 @@ class InteriorPointSolver:
                 delta_c * jnp.ones(n_eq),
                 s / lam_safe + delta_c * jnp.ones(n_ineq)])
             D = jnp.concatenate([
-                jnp.zeros(n_eq),
+                delta_ce * jnp.ones(n_eq),
                 s / lam_safe + delta_c * jnp.ones(n_ineq)])
             r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
 
@@ -341,10 +346,14 @@ class InteriorPointSolver:
             # KKT solve with primal regularization ladder
             delta_w = 0.0
             for trial in range(12):
+                delta_ce = 0.0 if trial == 0 else o.delta_c * max(mu, 1e-6) ** 0.25
                 dw, dy, dlam, ds, dzl, dzu, ok = self._kkt_solve(
                     gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
-                    lbw, ubw, free, mu, delta_w, o.delta_c)
-                if bool(ok) and np.all(np.isfinite(np.asarray(dw))):
+                    lbw, ubw, free, mu, delta_w, o.delta_c, delta_ce)
+                dir_finite = np.all(np.isfinite(np.asarray(dw))) \
+                    and np.all(np.isfinite(np.asarray(dy))) \
+                    and np.all(np.isfinite(np.asarray(dlam)))
+                if bool(ok) and dir_finite:
                     break
                 if delta_w == 0.0:
                     delta_w = max(o.delta_w_init, delta_w_last / 3.)
@@ -431,6 +440,9 @@ class InteriorPointSolver:
 
             w = w + alpha * dw
             y = y + alpha * dy
+            y_norm = float(jnp.max(jnp.abs(y), initial=0.))
+            if y_norm > 1e6:
+                y = y * (1e6 / y_norm)
             lam = jnp.maximum(lam + alpha_z * dlam, 1e-16) if self.n_ineq else lam
             if self.n_ineq:
                 s = jnp.maximum(s + alpha * ds, 1e-16)
