@@ -105,3 +105,41 @@ class Trial:
 
     def outputs_on_coll(self):
         return self.ocp.outputs_on_coll_fn(self.solution.V_opt, self.solution.P)
+
+    # ------------------------------------------------------------------
+    def interpolate(self, n_points: int = 100):
+        from . import postprocessing
+        return postprocessing.interpolate_solution(self, n_points)
+
+    def plot(self, flags, n_points: int = 100, save_prefix=None):
+        from . import postprocessing
+        from ..viz import visualization
+        plot_dict = postprocessing.interpolate_solution(self, n_points)
+        return visualization.plot(plot_dict, self.arch, flags,
+                                  save_prefix=save_prefix)
+
+    def write_to_csv(self, filename, n_points: int = 100):
+        from . import postprocessing
+        return postprocessing.write_csv(self, filename, n_points)
+
+    def check_quality(self, raise_exception=None):
+        from . import quality
+        return quality.check_quality(self, raise_exception)
+
+    # ------------------------------------------------------------------
+    def save(self, filename):
+        """Pickle the reloadable solution seed (trial.py:284-322 analog)."""
+        import pickle
+        payload = {
+            'name': self.name,
+            'options_dict': None,  # raw options are not always picklable
+            'V_opt': np.asarray(self.solution.V_opt),
+            'V_init': np.asarray(self.V_init),
+            'stats': self.solution.stats,
+            'success': self.solution.success,
+            'global_outputs': self.global_outputs(),
+            'theta_opt': self.theta_opt(),
+        }
+        with open(filename, 'wb') as fh:
+            pickle.dump(payload, fh)
+        return filename

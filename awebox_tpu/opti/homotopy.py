@@ -216,7 +216,8 @@ class HomotopySolution:
 
 def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
                    final_homotopy_step='final', warmstart=None,
-                   solver_cache=None, verbose=True) -> HomotopySolution:
+                   solver_cache=None, verbose=True,
+                   use_structured=None) -> HomotopySolution:
     """Walk the homotopy schedule (optimization.py:273-382)."""
     import jax.numpy as jnp
     options = ocp.options
@@ -227,13 +228,22 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
 
     lb, ub = set_initial_bounds(ocp, lb_nominal, ub_nominal, V_init, schedule)
 
+    if use_structured is None:
+        # structured per-node derivatives amortize for larger horizons; the
+        # dense path compiles faster on tiny test problems
+        use_structured = ocp.vstruct.total >= 1200
+
     if solver_cache is not None and 'solver' in solver_cache:
         solver = solver_cache['solver']
     else:
+        derivs_fn = None
+        if use_structured:
+            from ..ocp.structured import make_structured_derivs
+            derivs_fn = make_structured_derivs(ocp)
         solver = InteriorPointSolver(
             ocp.f_fn, ocp.eq_fn, ocp.ineq_fn,
             n=ocp.vstruct.total, n_eq=ocp.n_eq, n_ineq=ocp.n_ineq,
-            options=IPOptions())
+            options=IPOptions(), derivs_fn=derivs_fn)
         if solver_cache is not None:
             solver_cache['solver'] = solver
 

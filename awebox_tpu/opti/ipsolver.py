@@ -159,6 +159,8 @@ class InteriorPointSolver:
             M = W + As.T @ As
             LM = jnp.linalg.cholesky(M)
             ok = jnp.all(jnp.isfinite(LM))
+            diag = (jnp.max(jnp.abs(M), initial=0.), jnp.all(jnp.isfinite(M)),
+                    jnp.max(jnp.abs(A), initial=0.), jnp.max(sigma, initial=0.))
 
             # direction from the full augmented system (accurate regardless of
             # the 1/delta_c conditioning of the condensed form), with one step
@@ -179,7 +181,7 @@ class InteriorPointSolver:
             dzl = mu / dl - zl - zl * dw / dl
             dzu = mu / du - zu + zu * dw / du
 
-            return dw, dy, dlam, ds, dzl, dzu, ok
+            return dw, dy, dlam, ds, dzl, dzu, ok, diag
 
         self._kkt_solve = kkt_solve
 
@@ -249,9 +251,10 @@ class InteriorPointSolver:
         (lbw_free, ubw_free, free_mask, center)."""
         lbw = np.asarray(lbw, dtype=float)
         ubw = np.asarray(ubw, dtype=float)
-        center = 0.5 * (lbw + ubw)
-        eps_pin = 1e-9 * (1. + np.abs(np.where(np.isfinite(center), center, 0.)))
-        pinned = (ubw - lbw) < 2. * eps_pin
+        with np.errstate(invalid='ignore'):
+            center = 0.5 * (lbw + ubw)
+            eps_pin = 1e-9 * (1. + np.abs(np.where(np.isfinite(center), center, 0.)))
+            pinned = (ubw - lbw) < 2. * eps_pin
         lbw_free = np.where(pinned, -np.inf, lbw)
         ubw_free = np.where(pinned, np.inf, ubw)
         return lbw_free, ubw_free, (1. - pinned.astype(float)), \
@@ -345,14 +348,16 @@ class InteriorPointSolver:
 
             # KKT solve with primal regularization ladder
             delta_w = 0.0
+            ladder_hist = []
             for trial in range(12):
                 delta_ce = 0.0 if trial == 0 else o.delta_c * max(mu, 1e-6) ** 0.25
-                dw, dy, dlam, ds, dzl, dzu, ok = self._kkt_solve(
+                dw, dy, dlam, ds, dzl, dzu, ok, kdiag = self._kkt_solve(
                     gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
                     lbw, ubw, free, mu, delta_w, o.delta_c, delta_ce)
                 dir_finite = np.all(np.isfinite(np.asarray(dw))) \
                     and np.all(np.isfinite(np.asarray(dy))) \
                     and np.all(np.isfinite(np.asarray(dlam)))
+                ladder_hist.append((delta_w, bool(ok), bool(dir_finite)))
                 if bool(ok) and dir_finite:
                     break
                 if delta_w == 0.0:
@@ -363,9 +368,24 @@ class InteriorPointSolver:
                     break
             else:
                 status = 'regularization_failed'
+                if o.verbose:
+                    print(f'  [ladder exhausted] ok={bool(ok)} '
+                          f'|dw|={float(jnp.max(jnp.abs(dw))):.2e} '
+                          f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
+                          f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
+                          f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
+                          f'min_s={float(jnp.min(s, initial=1.)):.2e}')
                 break
             if delta_w > o.delta_w_max:
                 status = 'regularization_failed'
+                if o.verbose:
+                    print(f'  [ladder overflow] ok={bool(ok)} '
+                          f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
+                          f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
+                          f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
+                          f'|M|={float(kdiag[0]):.2e} Mfin={bool(kdiag[1])} '
+                          f'|A|={float(kdiag[2]):.2e} sig={float(kdiag[3]):.2e}')
+                    print('  ladder history:', [(f'{d:.1e}', o2, f2) for (d, o2, f2) in ladder_hist])
                 break
             if delta_w > 0:
                 delta_w_last = delta_w

@@ -1,0 +1,160 @@
+"""Batched scenario solving over device meshes.
+
+The reference's only batch axis is a serial Python loop over sweep cases
+(sweep.py:117-172). Here a fleet of independent OCPs (e.g. a wind-speed power
+curve, or randomized initializations a la the Energies-2023 robustness study)
+is one jitted program: the interior-point iteration is written as a pure
+function of a state pytree, vmapped over the scenario axis, and sharded over
+a `jax.sharding.Mesh` so scenario fleets ride data-parallel over ICI.
+
+The step here is the fixed-iteration production path (no host-side line
+search): fraction-to-boundary steps with a monotone barrier schedule. The
+host-driven solver in opti/ipsolver.py remains the robust single-problem
+path; this is the throughput path.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
+                 delta_c: float = 1e-8, tau: float = 0.99,
+                 kappa_mu: float = 0.8, mu_min: float = 1e-8):
+    """Pure-jax single interior-point iteration for one scenario.
+
+    state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
+    (including per-scenario theta0 for parameter sweeps). Returns the updated
+    state. No python control flow on traced values: the regularization is a
+    fixed small primal damping, the barrier decreases geometrically clipped at
+    the error level (adaptive-mu lite).
+    """
+    n = ocp.vstruct.total
+    n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
+    f_fn, eq_fn, ineq_fn = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
+
+    if derivs_fn is None:
+        from ..ocp.structured import make_structured_derivs
+        derivs_fn = make_structured_derivs(ocp)
+
+    def step(state, p, lbw, ubw, free):
+        w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
+        zl, zu, mu = state['zl'], state['zu'], state['mu']
+
+        fval, gradf, cE, cI, JE, JI, H = derivs_fn(w, y, lam, p)
+
+        dl = jnp.maximum(w - lbw, 1e-20)
+        du = jnp.maximum(ubw - w, 1e-20)
+        sigma = zl / dl + zu / du
+        W = H + jnp.diag(sigma) + delta_w * jnp.eye(n)
+        W = W * (free[:, None] * free[None, :]) + jnp.diag(1. - free)
+
+        A = jnp.concatenate([JE, JI], axis=0) * free[None, :]
+        lam_safe = jnp.maximum(lam, 1e-12)
+        D = jnp.concatenate([jnp.zeros(n_eq), s / lam_safe + delta_c * jnp.ones(n_ineq)])
+        r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
+        r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
+
+        K = jnp.block([[W, A.T], [A, -jnp.diag(D)]])
+        rhs = jnp.concatenate([r1, -r2])
+        lu_piv = jax.scipy.linalg.lu_factor(K)
+        sol = jax.scipy.linalg.lu_solve(lu_piv, rhs)
+        sol = sol + jax.scipy.linalg.lu_solve(lu_piv, rhs - K @ sol)
+        dw = sol[:n] * free
+        dnu = sol[n:]
+        dy, dlam = dnu[:n_eq], dnu[n_eq:]
+        ds = -(cI + s) - JI @ dw if n_ineq else s
+        dzl = mu / dl - zl - zl * dw / dl
+        dzu = mu / du - zu + zu * dw / du
+
+        def ftb(val, dval):
+            neg = dval < 0
+            ratios = jnp.where(neg, -tau * val / jnp.where(neg, dval, -1.), jnp.inf)
+            return jnp.minimum(jnp.min(ratios, initial=1.0), 1.0)
+
+        alpha = jnp.minimum(ftb(dl, dw), ftb(du, -dw))
+        if n_ineq:
+            alpha = jnp.minimum(alpha, ftb(s, ds))
+        alpha_z = jnp.minimum(ftb(jnp.maximum(zl, 1e-300), dzl),
+                              ftb(jnp.maximum(zu, 1e-300), dzu))
+        if n_ineq:
+            alpha_z = jnp.minimum(alpha_z, ftb(lam_safe, dlam))
+
+        w = w + alpha * dw
+        y = y + alpha * dy
+        if n_ineq:
+            lam = jnp.maximum(lam + alpha_z * dlam, 1e-16)
+            s = jnp.maximum(s + alpha * ds, 1e-16)
+        zl = jnp.where(jnp.isfinite(lbw), zl + alpha_z * dzl, 0.)
+        zu = jnp.where(jnp.isfinite(ubw), zu + alpha_z * dzu, 0.)
+
+        # adaptive-mu lite: contract toward the dual-infeasibility level
+        err_d = jnp.max(jnp.abs(r1))
+        mu = jnp.maximum(jnp.minimum(kappa_mu * mu, 0.1 * err_d), mu_min)
+
+        return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+
+    return step
+
+
+def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
+                        axis_name: str = 'scenario'):
+    """vmapped + sharded fixed-iteration IP solve over a scenario batch.
+
+    Returns solve(batched_state, batched_P) jitted; if a Mesh is given, the
+    scenario axis of all inputs is sharded over it (pure data parallelism over
+    ICI; independent NLPs need no collectives - SURVEY section 2.10/5.8).
+    """
+    from ..opti.ipsolver import InteriorPointSolver
+    lbw, ubw, free_np, center_np = InteriorPointSolver.split_pins(lb, ub)
+    lbw = jnp.asarray(lbw)
+    ubw = jnp.asarray(ubw)
+    free = jnp.asarray(free_np)
+
+    step = make_ip_step(ocp)
+
+    def solve_one(state, p):
+        def body(st, _):
+            return step(st, p, lbw, ubw, free), None
+        out, _ = jax.lax.scan(body, state, None, length=n_iter)
+        return out
+
+    batched = jax.vmap(solve_one, in_axes=(0, None))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(axis_name))
+        state_shardings = jax.tree_util.tree_map(lambda _: shard, {
+            'w': 0, 's': 0, 'y': 0, 'lam': 0, 'zl': 0, 'zu': 0, 'mu': 0})
+        return jax.jit(batched, in_shardings=(state_shardings, None),
+                       out_shardings=state_shardings)
+    return jax.jit(batched)
+
+
+def init_batched_state(ocp, V_init_batch, P, lb, ub, mu0=1e-2):
+    """Stack per-scenario initial states into a batched pytree."""
+    states = [_single_state(ocp, V0, P, lb, ub, mu0) for V0 in V_init_batch]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _single_state(ocp, V0, P, lb, ub, mu0):
+    from ..opti.ipsolver import InteriorPointSolver
+    lbw, ubw, free, center = InteriorPointSolver.split_pins(lb, ub)
+    w = np.where(free > 0.5, np.asarray(V0), center)
+    span = np.minimum(1e-2 * np.maximum(1., np.abs(w)), 0.5 * (ubw - lbw))
+    w = np.clip(w, np.where(np.isfinite(lbw), lbw + span, -np.inf),
+                np.where(np.isfinite(ubw), ubw - span, np.inf))
+    cI = np.asarray(ocp.ineq_fn(jnp.asarray(w), P))
+    s = np.maximum(-cI, mu0)
+    lam = np.maximum(mu0 / s, 1e-8)
+    dl = np.where(np.isfinite(lbw), np.maximum(w - lbw, 1e-8), np.inf)
+    du = np.where(np.isfinite(ubw), np.maximum(ubw - w, 1e-8), np.inf)
+    zl = np.where(np.isfinite(lbw), mu0 / dl, 0.)
+    zu = np.where(np.isfinite(ubw), mu0 / du, 0.)
+    return dict(w=jnp.asarray(w), s=jnp.asarray(s),
+                y=jnp.zeros(ocp.n_eq), lam=jnp.asarray(lam),
+                zl=jnp.asarray(zl), zu=jnp.asarray(zu),
+                mu=jnp.asarray(float(mu0)))
