@@ -49,17 +49,38 @@ def make_splitters(layout, scaling):
 
 
 def make_time_derivative(layout, scaling, arch, kite_dof):
-    """Total-time-derivative operator d/dt along the trajectory implied by the
-    xdot variables (lagr_dyn_dir/tools.py:13-74).
+    """Total-time-derivative operator d/dt along the trajectory
+    (lagr_dyn_dir/tools.py:13-74).
 
-    For an expression f(v) of the scaled model variables, df/dt is the jvp of f
-    in the tangent direction where each scaled state x_i moves with velocity
-    (scale_xdot/scale_x)_i * xdot_i(scaled), DCM states move with R*skew(omega),
-    and all other variables are frozen.
+    For an expression f(v) of the scaled model variables, df/dt is the jvp of
+    f in the tangent direction where each scaled state s moves with the rate
+    named 'd'+s. Crucially (matching struct_op.get_variable_type:737-757), the
+    rate is taken from the algebraically equivalent *state or control*
+    variable when one of that name exists (e.g. d(q10)/dt is the state dq10,
+    d(coeff)/dt is the control dcoeff), and only pure second derivatives come
+    from the xdot variables (ddq10, domega10, ...). This choice determines the
+    Jacobian structure of gddot and therefore the index-1 property of the DAE.
+    DCM states move with R*skew(omega); all other variables are frozen.
     """
-    x_sl = slice(layout.type_offsets['x'], layout.type_offsets['x'] + layout.dims['x'])
-    xd_sl = slice(layout.type_offsets['xdot'], layout.type_offsets['xdot'] + layout.dims['xdot'])
-    ratio = np.asarray(scaling['xdot']) / np.asarray(scaling['x'])
+    x_off = layout.type_offsets['x']
+    x_sl = slice(x_off, x_off + layout.dims['x'])
+
+    # (destination slice in x, absolute source slice in v, scale ratio)
+    routes = []
+    for name, dim in layout.entries['x']:
+        dname = 'd' + name
+        if layout.has('x', dname):
+            src_type = 'x'
+        elif layout.has('u', dname):
+            src_type = 'u'
+        else:
+            src_type = 'xdot'
+        dst = layout.slices['x'][name]
+        src_rel = layout.slices[src_type][dname]
+        src_abs = slice(layout.type_offsets[src_type] + src_rel.start,
+                        layout.type_offsets[src_type] + src_rel.stop)
+        ratio = np.asarray(scaling[src_type])[src_rel] / np.asarray(scaling['x'])[dst]
+        routes.append((dst, src_abs, ratio))
 
     r_fixups = []
     if kite_dof == 6:
@@ -74,8 +95,9 @@ def make_time_derivative(layout, scaling, arch, kite_dof):
     def tangent(v):
         v = jnp.asarray(v)
         x_scaled = v[x_sl]
-        xdot_scaled = v[xd_sl]
-        tx = xdot_scaled * ratio
+        tx = jnp.zeros(layout.dims['x'])
+        for (dst, src_abs, ratio) in routes:
+            tx = tx.at[dst].set(v[src_abs] * ratio)
         for (r_rel, om_rel, om_scale, r_scale) in r_fixups:
             R = (x_scaled[r_rel] * r_scale).reshape(3, 3)
             omega_si = x_scaled[om_rel] * om_scale

@@ -316,6 +316,9 @@ class InteriorPointSolver:
         delta_w_last = 0.0
         filter_list = []
         theta_init = None
+        best_err = np.inf
+        best_state = None
+        bad_streak = 0
         status = 'max_iter'
         success = False
         it = 0
@@ -345,6 +348,28 @@ class InteriorPointSolver:
                 mu = max(mu_min, min(o.mu_linear_decrease * mu,
                                      mu ** o.mu_superlinear_power))
                 filter_list = []
+                best_err = np.inf  # err is measured per-barrier-level
+
+            # soft watchdog: restore the best iterate of this barrier level if
+            # the iteration has catastrophically diverged (dual blow-ups near
+            # degenerate active sets have no other recovery path)
+            if err_mu < best_err:
+                best_err = err_mu
+                best_state = (w, s, y, lam, zl, zu)
+                bad_streak = 0
+            elif err_mu > max(100. * best_err, best_err + 1e2):
+                bad_streak += 1
+                if bad_streak >= 8 and best_state is not None:
+                    w, s, y, lam, zl, zu = best_state
+                    y = 0.5 * y
+                    lam = jnp.maximum(0.5 * lam, 1e-8)
+                    delta_w_last = max(delta_w_last, 1e-2)
+                    filter_list = []
+                    bad_streak = 0
+                    if o.verbose:
+                        print(f'  [watchdog] restored best iterate '
+                              f'(err {best_err:.2e}), damped duals')
+                    continue
 
             # KKT solve with primal regularization ladder
             delta_w = 0.0
@@ -361,7 +386,7 @@ class InteriorPointSolver:
                 if bool(ok) and dir_finite:
                     break
                 if delta_w == 0.0:
-                    delta_w = max(o.delta_w_init, delta_w_last / 3.)
+                    delta_w = min(max(o.delta_w_init, delta_w_last / 3.), 1e4)
                 else:
                     delta_w *= 100. if delta_w_last == 0 else 8.
                 if delta_w > o.delta_w_max:
@@ -386,9 +411,15 @@ class InteriorPointSolver:
                           f'|M|={float(kdiag[0]):.2e} Mfin={bool(kdiag[1])} '
                           f'|A|={float(kdiag[2]):.2e} sig={float(kdiag[3]):.2e}')
                     print('  ladder history:', [(f'{d:.1e}', o2, f2) for (d, o2, f2) in ladder_hist])
+                    Habs = np.abs(np.asarray(H))
+                    im = np.unravel_index(np.argmax(Habs), Habs.shape)
+                    print(f'  H argmax at {im}; top rows:',
+                          np.argsort(-Habs.max(axis=1))[:6].tolist())
                 break
             if delta_w > 0:
-                delta_w_last = delta_w
+                delta_w_last = min(delta_w, o.delta_w_max)
+            else:
+                delta_w_last = delta_w_last / 3.  # decay when no damping needed
 
             # fraction-to-boundary
             tau = max(o.tau_min, 1. - mu)
@@ -454,12 +485,15 @@ class InteriorPointSolver:
                                 break
                 alpha *= 0.5
             if not accepted:
-                # watchdog: take a tiny step to escape, with more regularization next time
+                # watchdog: take a tiny step to escape, with more regularization
+                # next time (growth capped: compounding here once inflated the
+                # ladder start past delta_w_max and aborted whole solves)
                 alpha = min(1e-4, alpha_max)
-                delta_w_last = max(delta_w_last, o.delta_w_init) * 10.
+                delta_w_last = min(max(delta_w_last, o.delta_w_init) * 10., 1e5)
 
             w = w + alpha * dw
-            y = y + alpha * dy
+            dy_step = jnp.clip(alpha * dy, -1e4, 1e4)
+            y = y + dy_step
             y_norm = float(jnp.max(jnp.abs(y), initial=0.))
             if y_norm > 1e6:
                 y = y * (1e6 / y_norm)
