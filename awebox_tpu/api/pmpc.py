@@ -1,0 +1,218 @@
+"""Periodic tracking NMPC built from a solved trial.
+
+Counterpart of /root/reference/awebox/pmpc.py:41-353: an N-interval tracking
+OCP over the optimized periodic orbit, with theta frozen to the optimum, the
+initial state pinned to the measured x0 (exactly eliminated by the solver's
+pinned-variable treatment), and the tracking reference obtained by evaluating
+the periodic collocation interpolant of the optimal orbit at the shifted time
+grid. Each feedback step is a warm-started bounded-iteration interior-point
+solve of the same compiled NLP — the analog of the reference's 2-iteration
+relaxed-barrier presolve + tracking solve (pmpc.py:208-217, 251-261).
+"""
+from __future__ import annotations
+
+import copy
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..model.system import PHI_NAMES
+from ..ocp.bounds import build_v_bounds
+from ..ocp.transcription import build_ocp
+from ..opti import homotopy as hm
+from ..opti.ipsolver import InteriorPointSolver, IPOptions
+
+
+class Pmpc:
+    def __init__(self, trial, N: int = 10, d: int = None, ts: float = None,
+                 max_iter: int = 60, mu_mpc: float = 1e-3):
+        """trial: an optimized Trial (the periodic orbit to track)."""
+        self.trial = trial
+        mpc_opts = trial.options['mpc']
+        self.N = int(N or mpc_opts['N'])
+        self.d = int(d or mpc_opts['d'])
+        self.max_iter = max_iter
+        self.mu_mpc = mu_mpc
+
+        self.T = trial.global_outputs()['time_period']
+        self.ts = float(ts) if ts is not None else self.T / (trial.ocp.n_k)
+
+        # --- build the mpc ocp: same model, tracking trajectory type -------
+        options = copy.deepcopy(trial.options)
+        options['user_options']['trajectory']['type'] = 'tracking'
+        options['nlp']['n_k'] = self.N
+        options['nlp']['collocation']['d'] = self.d
+        options['user_options']['trajectory']['lift_mode']['phase_fix'] = 'simple'
+
+        self.model = trial.model  # same physics model
+        self.ocp = build_ocp(self.model, options)
+        self.lb_nominal, self.ub_nominal = build_v_bounds(self.ocp)
+
+        # horizon time: t_f pinned so each interval spans ts
+        self.tf_horizon = self.ts * self.N
+
+        # reference interpolant of the optimal orbit
+        self._setup_reference_interpolant()
+
+        # parameter template + solver
+        V_ref0 = self.reference_V(0.)
+        self.P = hm.build_p_fix(self.ocp, V_ref0)
+        # mpc costs: pure tracking (pmpc.py:326-353)
+        import jax.numpy as jnp
+        for name in self.P['cost']:
+            self.P['cost'][name] = jnp.asarray(0.)
+        self.P['cost']['tracking'] = jnp.asarray(1.)
+        self.P['cost']['u_regularisation'] = jnp.asarray(1e-6)
+        self.P['cost']['xdot_regularisation'] = jnp.asarray(1e-8)
+
+        from ..ocp.structured import make_structured_derivs
+        derivs = make_structured_derivs(self.ocp) \
+            if self.ocp.vstruct.total >= 1200 else None
+        self.solver = InteriorPointSolver(
+            self.ocp.f_fn, self.ocp.eq_fn, self.ocp.ineq_fn,
+            n=self.ocp.vstruct.total, n_eq=self.ocp.n_eq,
+            n_ineq=self.ocp.n_ineq,
+            options=IPOptions(tol=1e-4, mu_init=self.mu_mpc,
+                              mu_target=self.mu_mpc, max_iter=max_iter),
+            derivs_fn=derivs)
+
+        self._state = None
+        self._V_prev = None
+        self.t_current = 0.
+        self.stats = []
+
+    # ------------------------------------------------------------------
+    def _setup_reference_interpolant(self):
+        trial = self.trial
+        tocp = trial.ocp
+        V = np.asarray(trial.solution.V_opt)
+        tvs = tocp.vstruct
+        tf_k = np.asarray(tocp.tf_per_k_fn(V))
+        self._orbit_t_x = np.concatenate([[0.], np.cumsum(tf_k / tocp.n_k)])
+        self._orbit_X = np.asarray(tvs.get_x_all(V))
+        self._orbit_CX = np.asarray(tvs.get_coll_x(V))
+        self._orbit_CZ = np.asarray(tvs.get_coll_z(V))
+        self._orbit_U = np.asarray(tvs.get_u_all(V))
+        self._orbit_nk = tocp.n_k
+        self._orbit_coll = tocp.coll
+        self._orbit_tfk = tf_k
+
+    def _orbit_at(self, t):
+        """(x, z, u) scaled on the periodic orbit at absolute time t."""
+        t = np.mod(t, self.T)
+        t_x = self._orbit_t_x
+        k = min(int(np.searchsorted(t_x, t, side='right')) - 1, self._orbit_nk - 1)
+        k = max(k, 0)
+        tau = (t - t_x[k]) / (self._orbit_tfk[k] / self._orbit_nk)
+        tau = min(max(tau, 0.), 1.)
+        lx = self._orbit_coll.interp_x(tau)
+        lu = self._orbit_coll.interp_u(tau)
+        stack = np.concatenate([self._orbit_X[k][None, :], self._orbit_CX[k]], axis=0)
+        x = lx @ stack
+        z = lu @ self._orbit_CZ[k]
+        u = self._orbit_U[k]
+        return x, z, u
+
+    def reference_V(self, t0: float) -> np.ndarray:
+        """V-shaped reference: the orbit over [t0, t0 + N*ts]."""
+        ocp = self.ocp
+        vs = ocp.vstruct
+        V_ref = np.zeros(vs.total)
+
+        # theta frozen from the trial optimum (pmpc.py:68-84)
+        trial_vs = self.trial.ocp.vstruct
+        V_opt = np.asarray(self.trial.solution.V_opt)
+        for name in vs.theta_names:
+            if name == 't_f':
+                V_ref[vs.theta_slice(name)] = self.tf_horizon
+            else:
+                val = V_opt[trial_vs.theta_slice(name)]
+                V_ref[vs.theta_slice(name)] = val
+        V_ref[vs.phi_slice] = 1.
+
+        for k in range(self.N + 1):
+            t = t0 + k * self.ts
+            x, z, u = self._orbit_at(t)
+            V_ref[vs.x_slice(k)] = x
+            if k < self.N:
+                V_ref[vs.u_slice(k)] = u
+                V_ref[vs.z_slice(k)] = z
+                for j in range(self.d):
+                    tc = t + self.ocp.coll.tau_root[1 + j] * self.ts
+                    xc, zc, _ = self._orbit_at(tc)
+                    V_ref[vs.coll_x_slice(k, j)] = xc
+                    V_ref[vs.coll_z_slice(k, j)] = zc
+        return V_ref
+
+    # ------------------------------------------------------------------
+    def _bounds_for(self, x0_scaled):
+        vs = self.ocp.vstruct
+        lb = self.lb_nominal.copy()
+        ub = self.ub_nominal.copy()
+        # pin phi (no homotopy in mpc; tracking blend = 1)
+        lb[vs.phi_slice] = 1.
+        ub[vs.phi_slice] = 1.
+        # pin theta (frozen design, fixed horizon)
+        for name in vs.theta_names:
+            sl = vs.theta_slice(name)
+            if name == 't_f':
+                lb[sl] = self.tf_horizon
+                ub[sl] = self.tf_horizon
+            else:
+                trial_vs = self.trial.ocp.vstruct
+                val = np.asarray(self.trial.solution.V_opt)[trial_vs.theta_slice(name)]
+                lb[sl] = val
+                ub[sl] = val
+        # pin the initial state (pmpc.py:119-131: delete initial-state path
+        # constraints, impose x(0) = x0)
+        sl = vs.x_slice(0)
+        lb[sl] = x0_scaled
+        ub[sl] = x0_scaled
+        return lb, ub
+
+    def step(self, x0_scaled: np.ndarray, verbose: bool = False):
+        """One MPC feedback step: returns the scaled control u0 (zoh).
+
+        (pmpc.py:221-302)"""
+        vs = self.ocp.vstruct
+        V_ref = self.reference_V(self.t_current)
+        self.P['ref'] = np.asarray(V_ref)
+
+        lb, ub = self._bounds_for(np.asarray(x0_scaled))
+
+        if self._V_prev is not None:
+            V_init = self._shift_solution(self._V_prev)
+        else:
+            V_init = V_ref.copy()
+        V_init[vs.x_slice(0)] = x0_scaled
+
+        t0 = time.time()
+        res = self.solver.solve(V_init, self.P, lb, ub,
+                                tol=1e-4, mu_init=self.mu_mpc,
+                                mu_target=self.mu_mpc,
+                                max_iter=self.max_iter, verbose=verbose)
+        self.stats.append({'iterations': res.iterations,
+                           'kkt_error': res.kkt_error,
+                           'wall_time': time.time() - t0})
+
+        V_sol = np.asarray(res.w)
+        self._V_prev = V_sol
+        self.t_current += self.ts
+        u0 = V_sol[vs.u_slice(0)]
+        return u0, V_sol
+
+    def _shift_solution(self, V_prev):
+        """Shift the horizon by one interval (pmpc.py:300-302)."""
+        vs = self.ocp.vstruct
+        V = V_prev.copy()
+        for k in range(self.N - 1):
+            V[vs.x_slice(k)] = V_prev[vs.x_slice(k + 1)]
+            V[vs.u_slice(k)] = V_prev[vs.u_slice(k + 1)]
+            V[vs.z_slice(k)] = V_prev[vs.z_slice(k + 1)]
+            V[vs.xdot_slice(k)] = V_prev[vs.xdot_slice(k + 1)]
+            for j in range(self.d):
+                V[vs.coll_x_slice(k, j)] = V_prev[vs.coll_x_slice(k + 1, j)]
+                V[vs.coll_z_slice(k, j)] = V_prev[vs.coll_z_slice(k + 1, j)]
+        V[vs.x_slice(self.N)] = V_prev[vs.x_slice(self.N)]
+        return V

@@ -1,0 +1,89 @@
+"""Open/closed-loop simulation of the optimized system.
+
+Counterpart of /root/reference/awebox/sim.py:44-233: the plant is the
+optimized model's implicit DAE integrated with rk4root (RK4 with a Newton
+rootfinder per stage); closed loop wraps a Pmpc controller. Algebraic
+consistency at every sample comes from the same rootfinder
+(sim.py:202-216).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..model.dae import dae_from_trial
+
+
+class Simulation:
+    def __init__(self, trial, sim_type: str = 'closed_loop', ts: float = None,
+                 mpc_options: Optional[dict] = None):
+        if sim_type not in ('open_loop', 'closed_loop'):
+            raise ValueError('sim_type must be open_loop or closed_loop')
+        self.trial = trial
+        self.sim_type = sim_type
+        self.dae = dae_from_trial(trial)
+        self.T = trial.global_outputs()['time_period']
+        self.ts = float(ts) if ts is not None else self.T / trial.ocp.n_k
+        self.n_fe = trial.options['sim']['number_of_finite_elements']
+
+        if sim_type == 'closed_loop':
+            from .pmpc import Pmpc
+            self.mpc = Pmpc(trial, ts=self.ts, **(mpc_options or {}))
+        else:
+            self.mpc = None
+
+        self.results: Dict[str, list] = {'t': [], 'x': [], 'u': [], 'zd': []}
+
+    # ------------------------------------------------------------------
+    def _orbit_u_at(self, t):
+        """Open-loop control: the optimized zoh control at time t."""
+        trial = self.trial
+        tocp = trial.ocp
+        V = np.asarray(trial.solution.V_opt)
+        tf_k = np.asarray(tocp.tf_per_k_fn(V))
+        t_x = np.concatenate([[0.], np.cumsum(tf_k / tocp.n_k)])
+        tm = np.mod(t, self.T)
+        k = min(int(np.searchsorted(t_x, tm, side='right')) - 1, tocp.n_k - 1)
+        return np.asarray(tocp.vstruct.get_u_all(V)[max(k, 0)])
+
+    def run(self, n_sim: int, x0_scaled=None, verbose=False):
+        """sim.py:114-140: per sample, controller -> plant integration."""
+        import jax.numpy as jnp
+        trial = self.trial
+        theta0 = trial.solution.P['theta0']
+        vs = trial.ocp.vstruct
+        if x0_scaled is None:
+            x0_scaled = np.asarray(vs.get_x_all(trial.solution.V_opt)[0])
+
+        x = jnp.asarray(x0_scaled)
+        zd = self.dae.consistent_zd(x, jnp.zeros(self.dae.nu), theta0)
+        t = 0.
+        for i in range(n_sim):
+            if self.sim_type == 'closed_loop':
+                u0, _ = self.mpc.step(np.asarray(x), verbose=verbose)
+            else:
+                u0 = self._orbit_u_at(t)
+            u0 = jnp.asarray(u0)
+            self.results['t'].append(t)
+            self.results['x'].append(np.asarray(x))
+            self.results['u'].append(np.asarray(u0))
+            self.results['zd'].append(np.asarray(zd))
+            x, zd = self.dae.integrate(x, u0, zd, self.ts, self.n_fe, theta0)
+            t += self.ts
+        self.results['t'].append(t)
+        self.results['x'].append(np.asarray(x))
+        return self
+
+    # ------------------------------------------------------------------
+    def tracking_error(self):
+        """RMS scaled deviation of the simulated states from the orbit."""
+        trial = self.trial
+        errs = []
+        for t, x in zip(self.results['t'], self.results['x']):
+            if self.mpc is not None:
+                x_ref, _, _ = self.mpc._orbit_at(t)
+            else:
+                continue
+            errs.append(np.linalg.norm(x - x_ref) / np.sqrt(x.size))
+        return np.asarray(errs)

@@ -290,6 +290,10 @@ class InteriorPointSolver:
         import copy as _copy
         o = _copy.copy(self.opts)
         lbw, ubw, free_np, center_np = self.split_pins(lbw, ubw)
+        relax = o.bound_relax * np.maximum(1., np.abs(np.where(np.isfinite(lbw), lbw, 0.)))
+        lbw = np.where((free_np > 0.5) & np.isfinite(lbw), lbw - relax, lbw)
+        relax_u = o.bound_relax * np.maximum(1., np.abs(np.where(np.isfinite(ubw), ubw, 0.)))
+        ubw = np.where((free_np > 0.5) & np.isfinite(ubw), ubw + relax_u, ubw)
         free = jnp.asarray(free_np)
         pin_center = jnp.asarray(center_np)
         if tol is not None:
@@ -319,6 +323,7 @@ class InteriorPointSolver:
         best_err = np.inf
         best_state = None
         bad_streak = 0
+        acceptable_streak = 0
         status = 'max_iter'
         success = False
         it = 0
@@ -341,6 +346,14 @@ class InteriorPointSolver:
                 success = True
                 status = 'solved'
                 break
+            if err_target <= max(1e2 * o.tol, 1e-6) and mu <= mu_min * 1.01:
+                acceptable_streak += 1
+                if acceptable_streak >= 15:
+                    success = True
+                    status = 'solved_acceptable'
+                    break
+            else:
+                acceptable_streak = 0
 
             # barrier subproblem convergence -> decrease mu
             err_mu = float(self._kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw, free))
@@ -515,6 +528,12 @@ class InteriorPointSolver:
                 print(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '
                       f'alpha={alpha:8.1e} dw={delta_w:8.1e} f={float(fval):13.6e}')
 
+        # return the best iterate of the last barrier level if the final
+        # iterate is worse (watchdog cycling can end on a bad step)
+        if best_state is not None:
+            err_now = float(self._kkt_error(w, s, y, lam, zl, zu, p, mu, lbw, ubw, free))
+            if best_err < err_now:
+                w, s, y, lam, zl, zu = best_state
         err_final = float(self._kkt_error(w, s, y, lam, zl, zu, p,
                                           mu_min if o.mu_target > 0 else 0., lbw, ubw, free))
         return IPResult(w=w, y=y, lam=lam, s=s, zl=zl, zu=zu, mu=mu,
