@@ -74,8 +74,13 @@ def evaluate(stab_derivs_structure, alpha, beta, airspeed, omega, delta,
         total = 0.
         for input_name in input_names:
             stack = jnp.asarray(tables[coeff_name][input_name])
-            # contribution = sum_l stack[l] * input * alpha^l
-            alpha_powers = alpha_val ** jnp.arange(stack.shape[0])
+            # contribution = sum_l stack[l] * input * alpha^l; built by
+            # cumprod, NOT alpha**arange: d/da a**0 is NaN at a=0 in autodiff
+            if stack.shape[0] == 1:
+                alpha_powers = jnp.ones(1)
+            else:
+                alpha_powers = jnp.cumprod(jnp.concatenate(
+                    [jnp.ones(1), jnp.broadcast_to(alpha_val, (stack.shape[0] - 1,))]))
             is_weighted = (coeff_name in MOMENT_COEFF_NAMES
                            and input_name in DEFLECTION_INPUTS)  # static
             weight = moment_factor if is_weighted else 1.0

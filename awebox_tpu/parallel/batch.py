@@ -54,17 +54,31 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
 
         A = jnp.concatenate([JE, JI], axis=0) * free[None, :]
         lam_safe = jnp.maximum(lam, 1e-12)
-        D = jnp.concatenate([jnp.zeros(n_eq), s / lam_safe + delta_c * jnp.ones(n_ineq)])
+        # TPU-native linear algebra: XLA:TPU has no f64 LU, but emulated-f64
+        # Cholesky and triangular solves are fast. Solve the condensed
+        # quasi-definite form M = W + A^T D^-1 A by Cholesky with iterative
+        # refinement; equality rows carry a small dual regularization delta_ce
+        # to keep D positive.
+        delta_ce = delta_c
+        D = jnp.concatenate([delta_ce * jnp.ones(n_eq),
+                             s / lam_safe + delta_c * jnp.ones(n_ineq)])
         r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
         r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
-        K = jnp.block([[W, A.T], [A, -jnp.diag(D)]])
-        rhs = jnp.concatenate([r1, -r2])
-        lu_piv = jax.scipy.linalg.lu_factor(K)
-        sol = jax.scipy.linalg.lu_solve(lu_piv, rhs)
-        sol = sol + jax.scipy.linalg.lu_solve(lu_piv, rhs - K @ sol)
-        dw = sol[:n] * free
-        dnu = sol[n:]
+        As = A / jnp.sqrt(D)[:, None]
+        M = W + As.T @ As
+        LM = jnp.linalg.cholesky(M)
+
+        def msolve(b):
+            t = jax.scipy.linalg.solve_triangular(LM, b, lower=True)
+            return jax.scipy.linalg.solve_triangular(LM.T, t, lower=False)
+
+        rhs_w = r1 - A.T @ (r2 / D)
+        dw = msolve(rhs_w)
+        for _ in range(2):  # refinement against the 1/delta_ce conditioning
+            dw = dw + msolve(rhs_w - (W @ dw + As.T @ (As @ dw)))
+        dw = dw * free
+        dnu = (A @ dw + r2) / D
         dy, dlam = dnu[:n_eq], dnu[n_eq:]
         ds = -(cI + s) - JI @ dw if n_ineq else s
         dzl = mu / dl - zl - zl * dw / dl

@@ -29,6 +29,12 @@ def main():
         jax.config.update('jax_enable_x64', False)
         dtype = 'float32'
 
+    try:
+        cpu = jax.devices('cpu')[0]
+    except Exception:
+        cpu = jax.devices()[0]
+    accel = jax.devices()[0]
+
     sys.path.insert(0, '.')
     from awebox_tpu.api.trial import Trial
     from awebox_tpu.options.options import Options
@@ -49,24 +55,32 @@ def main():
     options['nlp.n_k'] = 8
     options['nlp.collocation.d'] = 3
 
-    trial = Trial(options, 'bench').build()
-    ocp = trial.ocp
-    V0 = build_initial_guess(ocp)
-    P = build_p_fix(ocp, build_reference(ocp, V0))
-    schedule = define_schedule(ocp)
-    lb, ub = set_initial_bounds(ocp, trial.lb_nominal, trial.ub_nominal, V0, schedule)
+    # construction (structural scans, initial guesses) runs on host CPU; the
+    # benchmark computation itself runs on the accelerator
+    with jax.default_device(cpu):
+        trial = Trial(options, 'bench').build()
+        ocp = trial.ocp
+        V0 = build_initial_guess(ocp)
+        P = build_p_fix(ocp, build_reference(ocp, V0))
+        schedule = define_schedule(ocp)
+        lb, ub = set_initial_bounds(ocp, trial.lb_nominal, trial.ub_nominal, V0, schedule)
 
-    B = 16
-    n_iter = 10
-    rng = np.random.default_rng(0)
-    batch = [V0 + 1e-3 * rng.normal(size=V0.shape) for _ in range(B)]
-    state = init_batched_state(ocp, batch, P, lb, ub)
+        B = 16
+        n_iter = 10
+        rng = np.random.default_rng(0)
+        batch = [V0 + 1e-3 * rng.normal(size=V0.shape) for _ in range(B)]
+        state = init_batched_state(ocp, batch, P, lb, ub)
 
+    state = jax.device_put(state, accel)
+    P = jax.device_put(P, accel)
     solve = make_batched_solver(ocp, lb, ub, n_iter=n_iter)
 
     # compile + warm up
+    print('# compiling...', file=sys.stderr, flush=True)
+    t_c = time.time()
     out = solve(state, P)
     jax.block_until_ready(out)
+    print(f'# compile {time.time() - t_c:.1f}s', file=sys.stderr, flush=True)
 
     t0 = time.time()
     reps = 3
