@@ -106,6 +106,10 @@ class Trial:
     def outputs_on_coll(self):
         return self.ocp.outputs_on_coll_fn(self.solution.V_opt, self.solution.P)
 
+    def outputs_on_shooting(self):
+        """Outputs at shooting nodes — where path inequalities bind under zoh."""
+        return self.ocp.outputs_on_shooting_fn(self.solution.V_opt, self.solution.P)
+
     # ------------------------------------------------------------------
     def interpolate(self, n_points: int = 100):
         from . import postprocessing

@@ -49,6 +49,7 @@ class OCP:
     time_period_fn: Callable       # (V) -> scalar SI seconds
     tf_per_k_fn: Callable          # (V) -> (n_k,)
     outputs_on_coll_fn: Callable = None   # (V, P) -> pytree over (n_k*d) nodes
+    outputs_on_shooting_fn: Callable = None  # (V, P) -> pytree over n_k nodes
     cost_components_fn: Callable = None   # (V, P) -> dict of scalars
     keep_rows: np.ndarray = None          # shooting-eq model rows kept
     periodic_idx: np.ndarray = None       # x entries in the periodicity map
@@ -403,6 +404,15 @@ def build_ocp(model: Model, options: dict) -> OCP:
         return jax.vmap(model.outputs_fn, in_axes=(0, None, None))(
             coll_vecs, phi, theta0)
 
+    def outputs_on_shooting(V, P):
+        """Model outputs at the n_k shooting nodes — the nodes where path
+        inequalities are enforced under zoh (ocp/constraints.py:263-268)."""
+        phi = vstruct.get_phi(V)
+        theta0 = P['theta0']
+        shooting, _ = assemble_nodes(V)
+        return jax.vmap(model.outputs_fn, in_axes=(0, None, None))(
+            shooting, phi, theta0)
+
     return OCP(model=model, vstruct=vstruct, coll=coll, options=options,
                n_k=n_k, d=d, phase_idx=phase_idx, switch_kdx=switch_kdx,
                f_fn=f_fn, eq_fn=eq_fn, ineq_fn=ineq_fn,
@@ -410,6 +420,7 @@ def build_ocp(model: Model, options: dict) -> OCP:
                n_eq=n_eq_total, n_ineq=n_ineq_total,
                time_period_fn=time_period, tf_per_k_fn=tf_per_k,
                outputs_on_coll_fn=outputs_on_coll,
+               outputs_on_shooting_fn=outputs_on_shooting,
                cost_components_fn=cost_components,
                keep_rows=keep_rows, periodic_idx=np.asarray(periodic_idx),
                cat_mask_matrix=np.asarray(cat_mask_matrix),

@@ -35,8 +35,12 @@ def test_solution_physical(solved_trial):
     c10 = np.asarray(outputs['invariants']['c10'])
     l_scale = solved_trial.options['processed']['scaling']['x']['l_t']
     assert np.max(np.abs(c10)) / l_scale ** 2 < 1e-2
-    # tether force within the enforced envelope (allowing small ip slack)
-    force = np.asarray(outputs['local_performance']['tether_force10'])
+    # tether force within the enforced envelope at the shooting nodes, which
+    # is where path inequalities bind under zoh controls (both here and in the
+    # reference, ocp/constraints.py:263-268); interior collocation nodes are
+    # unconstrained and may dip below on a coarse n_k=4 grid.
+    sh_outputs = solved_trial.outputs_on_shooting()
+    force = np.asarray(sh_outputs['local_performance']['tether_force10'])
     assert force.min() > 45. and force.max() < 1900.
 
 
