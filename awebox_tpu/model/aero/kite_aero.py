@@ -55,13 +55,18 @@ def get_kite_dcm_3dof(cfg, si, theta0, arch, kite):
 
 
 def get_u_eff_earth(cfg, si, theta0, arch, kite):
-    """Effective air velocity at the kite in earth frame; without induction
-    this is the apparent velocity u_wind(z) - dq (kite_dir/tools.py:162-217)."""
+    """Effective air velocity at the kite in earth frame: the apparent
+    velocity u_wind(z) - dq, plus the lifted induced velocity ui when an
+    induction model is active (kite_dir/tools.py:162-217,
+    induction_dir/induction.py:104-121)."""
     label = arch.node_label(kite)
     q = si['x']['q' + label]
     dq = si['x']['dq' + label]
     uw = wind.get_velocity(cfg['wind_model'], theta0['wind'], q[2])
-    return uw - dq
+    u_app = uw - dq
+    if cfg.get('induction_lifted', False):
+        u_app = u_app + si['z']['ui' + label]
+    return u_app
 
 
 def forces_and_outputs(cfg, si, theta0, arch):

@@ -1,0 +1,257 @@
+"""Lifting-line vortex wake with periodic shedding (pure JAX, OCP-level).
+
+TPU-native re-design of /root/reference/awebox/mdl/aero/induction_dir/
+vortex_dir/ (~12.6k LoC). The reference lifts every wake-node position
+``wx_{kite}_{ring}_{tip}`` and ring strength ``wg_{kite}_{ring}`` as
+algebraic variables at every time node, then pins them with OCP "fixing"
+constraints to the convected wingtip positions at the shedding times
+(alg_repr_dir/fixing.py:51-180). That lifting exists to give CasADi/IPOPT
+sparsity; under JAX the fixing constraints are *linear gathers*, so this
+implementation substitutes them exactly:
+
+    wake node (kite, tip, ring r) observed at time t of interval m
+        = wingtip(kite, tip) at shooting node (m - r) mod n_k
+          + u_wind(shed altitude) * (t - t_shed)       [rigid convection]
+
+    ring strength r = circulation at the shedding node (instantaneous) or
+    the period-average circulation (default 'averaged',
+    opts/default.py:133).
+
+No wake variables or fixing constraints enter the NLP at all — only the
+per-kite induced velocity ``ui`` stays lifted (degree_of_induced_velocity_
+lifting = 1, opts/default.py:139). The induced-velocity evaluation is one
+batched all-pairs Biot-Savart kernel (elements x observers) per time node,
+vmapped over the horizon (filaments.py).
+
+Element bookkeeping per kite: bound filament at the current wingtips,
+near-wake trailing + shed filament rings (wake_objects_dir/near_wake.py),
+far wake as semi-infinite filaments along the wind direction
+(far_wake.py, far_wake_element_type='semi_infinite_filament').
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import kite_aero
+from ... import atmosphere, wind
+from . import filaments as fil
+
+
+def kite_wake_quantities(cfg, si, theta0, arch):
+    """Per-kite (tip_minus, tip_plus, circulation, q_obs) at one time node.
+
+    Wingtips sit at q +/- (b_ref/2) ehat_span with ehat_span the second DCM
+    axis; circulation from the lifting-line relation
+    f_aero = rho b_ref (u_eff x Gamma ehat_span), solved in least squares.
+    """
+    b_ref = theta0['geometry']['b_ref']
+    out = {}
+    f_earth, _, _ = kite_aero.forces_and_outputs(cfg, si, theta0, arch)
+    for kite in arch.kite_nodes:
+        label = arch.node_label(kite)
+        q = si['x']['q' + label]
+        if cfg['kite_dof'] == 6:
+            dcm = si['x']['r' + label].reshape(3, 3)
+        else:
+            dcm = kite_aero.get_kite_dcm_3dof(cfg, si, theta0, arch, kite)
+        ehat_span = dcm[:, 1]
+        tip_m = q - 0.5 * b_ref * ehat_span
+        tip_p = q + 0.5 * b_ref * ehat_span
+
+        u_eff = kite_aero.get_u_eff_earth(cfg, si, theta0, arch, kite)
+        rho = atmosphere.get_density(
+            cfg['atmosphere_model'], theta0['atmosphere'], q[2])
+        w = jnp.cross(u_eff, ehat_span)
+        gamma = (f_earth[kite] @ w) / (rho * b_ref * (w @ w) + 1e-8)
+
+        u_conv = wind.get_velocity(cfg['wind_model'], theta0['wind'], q[2])
+        out[kite] = {'tip_m': tip_m, 'tip_p': tip_p, 'gamma': gamma,
+                     'q_obs': q, 'u_conv': u_conv}
+    return out
+
+
+def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
+                       t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period):
+    """Assemble the full wake element set for one observation time.
+
+    tips_m/tips_p/gammas/u_convs: per-kite arrays over shooting nodes
+    (n_k, 3)/(n_k,). Ring r of the wake anchors on shooting node
+    (m_obs - r) mod n_k, convected by dt = t_obs - t_shed (ages wrap by one
+    period under periodicity). m_obs may be a traced integer — all gathers
+    are dynamic takes, so the whole constructor vmaps over observation
+    nodes. Returns (FiniteFilaments, SemiInfiniteFilaments).
+    """
+    r_core = cfg['vortex_core_to_chord_ratio'] * theta0['geometry']['c_ref']
+    strength_mode = cfg['vortex_strength_mode']
+    n_rings = wake_nodes
+
+    x_starts, x_ends, strengths = [], [], []
+    s_starts, s_lhats, s_strengths = [], [], []
+
+    rings = jnp.arange(n_rings)
+    shed_idx = jnp.mod(m_obs - rings, n_k)                    # (R,)
+    t_shed = jnp.take(t_nodes, shed_idx)
+    dt = t_obs - t_shed
+    dt = jnp.where(rings > m_obs, dt + T_period, dt)
+    dt = jnp.maximum(dt, 0.)
+
+    for ki, kite in enumerate(kites):
+        tm = tips_m[ki]      # (n_k, 3)
+        tp = tips_p[ki]
+        gm = gammas[ki]      # (n_k,)
+        uc = u_convs[ki]     # (n_k, 3)
+
+        uc_shed = jnp.take(uc, shed_idx, axis=0)
+        node_m = jnp.take(tm, shed_idx, axis=0) + uc_shed * dt[:, None]
+        node_p = jnp.take(tp, shed_idx, axis=0) + uc_shed * dt[:, None]
+
+        if strength_mode == 'averaged':
+            g_ring = jnp.full((n_rings,), jnp.mean(gm))
+        else:
+            g_ring = jnp.take(gm, shed_idx)
+
+        # bound filament at the current kite position (ring 0 anchor)
+        x_starts.append(node_m[0:1])
+        x_ends.append(node_p[0:1])
+        strengths.append(g_ring[0:1])
+
+        if n_rings > 1:
+            # trailing filaments: tip+ leg runs downstream (node r ->
+            # node r+1), tip- leg runs upstream; both carry the ring
+            # strength of the sheet shed in that interval
+            x_starts.append(node_p[:-1])
+            x_ends.append(node_p[1:])
+            strengths.append(g_ring[:-1])
+
+            x_starts.append(node_m[1:])
+            x_ends.append(node_m[:-1])
+            strengths.append(g_ring[:-1])
+
+            # shed (spanwise) filaments close consecutive rings; they carry
+            # the circulation difference and vanish under 'averaged'
+            x_starts.append(node_m[1:])
+            x_ends.append(node_p[1:])
+            strengths.append(g_ring[1:] - g_ring[:-1])
+
+        if cfg['vortex_far_wake'] == 'semi_infinite_filament':
+            l_hat = jnp.array([1., 0., 0.])
+            s_starts.append(node_p[-1][None, :])
+            s_lhats.append(l_hat[None, :])
+            s_strengths.append(g_ring[-1:])
+            s_starts.append(node_m[-1][None, :])
+            s_lhats.append(l_hat[None, :])
+            s_strengths.append(-g_ring[-1:])
+
+    x_start = jnp.concatenate(x_starts)
+    finite = fil.FiniteFilaments(
+        x_start=x_start,
+        x_end=jnp.concatenate(x_ends),
+        r_core=jnp.full(x_start.shape[:-1], r_core),
+        strength=jnp.concatenate(strengths))
+    semi = None
+    if s_starts:
+        s_start = jnp.concatenate(s_starts)
+        semi = fil.SemiInfiniteFilaments(
+            x_start=s_start,
+            l_hat=jnp.concatenate(s_lhats),
+            r_core=jnp.full(s_start.shape[:-1], r_core),
+            strength=jnp.concatenate(s_strengths))
+    return finite, semi
+
+
+def make_vortex_residual_fn(ocp):
+    """OCP-level vortex induction equalities.
+
+    Returns (fn, n_rows) where fn(V, P) stacks, for every time node (n_k
+    shooting + n_k*d collocation) and kite, the iota-blended residual
+
+        iota * ui + (1 - iota) * (ui - ui_biot_savart) , scaled by 1/u_ref
+
+    replacing induction_dir/induction.py:76-101 + vortex.py:158 +
+    alg_repr_dir/fixing.py in a single gather-and-superpose kernel.
+    """
+    model = ocp.model
+    cfg = model.cfg
+    arch = model.arch
+    layout = model.layout
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+    kites = list(arch.kite_nodes)
+    wake_nodes = cfg['vortex_wake_nodes']
+    from ...system import PHI_NAMES
+    iota_idx = PHI_NAMES.index('iota')
+
+    ui_slices = {k: layout.slices['z']['ui' + arch.node_label(k)]
+                 for k in kites}
+
+    def node_quantities(vec, theta0):
+        si = model.to_si(vec)
+        q = kite_wake_quantities(cfg, si, theta0, arch)
+        tips_m = jnp.stack([q[k]['tip_m'] for k in kites])
+        tips_p = jnp.stack([q[k]['tip_p'] for k in kites])
+        gammas = jnp.stack([q[k]['gamma'] for k in kites])
+        u_convs = jnp.stack([q[k]['u_conv'] for k in kites])
+        q_obs = jnp.stack([q[k]['q_obs'] for k in kites])
+        return tips_m, tips_p, gammas, u_convs, q_obs
+
+    tau = np.asarray(ocp.coll.tau_root[1:])  # (d,)
+
+    ui_scale = {k: np.asarray(model.scaling['z'][ui_slices[k]])
+                for k in kites}
+
+    def fn(V, P):
+        theta0 = P['theta0']
+        phi = vs.get_phi(V)
+        iota = phi[iota_idx]
+        u_ref = theta0['wind']['u_ref']
+
+        shooting, coll_vecs = ocp.assemble_nodes_fn(V)
+        # wake history anchors on the shooting nodes
+        tips_m, tips_p, gammas, u_convs, q_obs_sh = jax.vmap(
+            node_quantities, in_axes=(0, None), out_axes=1)(shooting, theta0)
+        # tips_*: (n_kites, n_k, 3); gammas: (n_kites, n_k)
+
+        tf_k = ocp.tf_per_k_fn(V)                      # (n_k,)
+        h_k = tf_k / n_k                               # interval durations
+        t_nodes = jnp.concatenate([jnp.zeros(1), jnp.cumsum(h_k)])[:n_k]
+        T_period = ocp.time_period_fn(V)
+
+        _, _, _, _, q_obs_coll = jax.vmap(
+            node_quantities, in_axes=(0, None), out_axes=1)(coll_vecs, theta0)
+        # q_obs_coll: (n_kites, n_k*d, 3)
+
+        Z = vs.get_z_all(V)                            # (n_k, nz)
+        CZ = vs.get_coll_z(V).reshape(n_k, d, -1)      # (n_k, d, nz)
+
+        # flatten all (1+d)*n_k observation nodes: shooting first, then coll
+        m_all = jnp.concatenate([jnp.arange(n_k),
+                                 jnp.repeat(jnp.arange(n_k), d)])
+        t_all = jnp.concatenate([
+            t_nodes,
+            (t_nodes[:, None] + jnp.asarray(tau)[None, :]
+             * h_k[:, None]).reshape(-1)])
+        z_all = jnp.concatenate([Z, CZ.reshape(n_k * d, -1)])
+        q_obs_all = jnp.concatenate([q_obs_sh, q_obs_coll], axis=1)
+        # q_obs_all: (n_kites, N, 3) with N = n_k*(1+d)
+
+        def one_node(t_obs, m_obs, z_vec, q_obs_nodes):
+            finite, semi = build_filament_set(
+                cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
+                t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period)
+            rows = []
+            for ki, kite in enumerate(kites):
+                sl = ui_slices[kite]
+                ui = z_vec[sl.start:sl.stop] * ui_scale[kite]
+                ui_model = fil.total_induction(finite, semi, q_obs_nodes[ki])
+                rows.append((iota * ui
+                             + (1. - iota) * (ui - ui_model)) / u_ref)
+            return jnp.concatenate(rows)
+
+        res = jax.vmap(one_node, in_axes=(0, 0, 0, 1))(
+            t_all, m_all, z_all, q_obs_all)
+        return res.reshape(-1)
+
+    n_rows = 3 * len(kites) * n_k * (1 + d)
+    return fn, n_rows

@@ -20,6 +20,7 @@ import numpy as np
 from ..arch import Architecture
 from . import lagrangian as lagr
 from . import tether, wind
+from .aero import induction as induction_mod
 from .aero import kite_aero
 from .system import PHI_NAMES, generate_structure
 from .vars import VarLayout, strip_node_identifier
@@ -139,6 +140,26 @@ def _build_cfg(options, arch) -> dict:
         'geometry_static': {'ar': proc['geometry']['ar'],
                             'b_ref': proc['geometry']['b_ref']},
     }
+
+    # induction plumbing (induction_dir/induction.py; system.py:233-350)
+    induction_model = proc['induction_model']
+    act = options['model']['aero']['actuator']
+    cfg['induction_model'] = induction_model
+    cfg['induction_lifted'] = induction_model not in ('not_in_use', 'averaged')
+    cfg['act_comparison_labels'] = list(proc['act_comparison_labels'])
+    cfg['act_primary_label'] = proc['act_primary_label']
+    cfg['act_varrho_ref'] = proc['act_varrho_ref']
+    cfg['act_normal_vector_model'] = act['normal_vector_model']
+    cfg['act_actuator_skew'] = act['actuator_skew']
+    cfg['act_wake_skew'] = act['wake_skew']
+    cfg['act_a_ref'] = float(act['a_ref'])
+    cfg['act_asym_radial_linearity'] = bool(act['asym_radial_linearity'])
+    cfg['act_force_zero'] = bool(options['model']['aero']['induction']['force_zero'])
+    vor = options['model']['aero']['vortex']
+    cfg['vortex_wake_nodes'] = int(vor['wake_nodes'])
+    cfg['vortex_core_to_chord_ratio'] = float(vor['core_to_chord_ratio'])
+    cfg['vortex_far_wake'] = vor['far_wake_element_type']
+    cfg['vortex_strength_mode'] = vor['filament_strength_from_circulation']
     return cfg
 
 
@@ -286,8 +307,29 @@ def make_model(options, arch: Architecture) -> Model:
             trivial_names.append((name, 'u'))
     for (name, t) in trivial_names:
         add_eq('trivial_' + name, layout.dim('xdot', name))
+    # vortex ui residuals couple time nodes through the wake history, so they
+    # live at the OCP level (aero/vortex/wake.py), not in the per-node model
+    induction_in_model = cfg['induction_lifted'] \
+        and cfg['induction_model'] == 'actuator'
+    if induction_in_model:
+        for name, dim in induction_mod.residual_names_and_dims(cfg, arch):
+            add_eq(name, dim)
     if not options['model']['integral_outputs']:
         add_eq('integral_e', 1)
+
+    # static references used to normalize the actuator residual rows
+    def induction_scaling_refs(theta0):
+        m_ref = scaling_of('z', 'm_aero',
+                           default=scaling_of('z', 'f_aero')
+                           * cfg['geometry_static']['b_ref'] / 2.)
+        return {
+            'thrust_ref': float(scaling_of('z', 'f_aero')),
+            'moment_ref': float(m_ref),
+            'a_ref': cfg['act_a_ref'],
+            'varrho_ref': cfg['act_varrho_ref'],
+            'b_ref': cfg['geometry_static']['b_ref'],
+            'u_ref': theta0['wind']['u_ref'],
+        }
 
     # --- power ------------------------------------------------------------
     def power_fn(v, phi, theta0):
@@ -409,6 +451,13 @@ def make_model(options, arch: Architecture) -> Model:
                 _scaling_value(scaling, layout, t, name)
                 * _scaling_value(scaling, layout, 'xdot', name))
             res.append((xdot_si - base_si) / mean_scale)
+
+        # induction equalities with iota blend (induction_dir/induction.py:76-101)
+        if induction_in_model:
+            iota = phi[PHI_NAMES.index('iota')]
+            res.append(induction_mod.residuals(
+                cfg, si, theta0, arch, iota, f_kite,
+                induction_scaling_refs(theta0)))
 
         # energy quadrature as dynamics (dynamics.py:233-274)
         if not options['model']['integral_outputs']:
@@ -548,6 +597,11 @@ def make_model(options, arch: Architecture) -> Model:
         outputs.update(aero_outputs)
 
         outputs['performance'] = {'p_current': power_fn(v, phi, theta0)}
+
+        if cfg['induction_lifted']:
+            f_earth, _, _ = kite_aero.forces_and_outputs(cfg, si, theta0, arch)
+            outputs['actuator'] = induction_mod.collect_outputs(
+                cfg, si, theta0, arch, f_earth)
 
         # invariants
         def g_stack(vv):

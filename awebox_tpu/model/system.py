@@ -90,6 +90,23 @@ def generate_structure(options, architecture) -> Tuple[VarLayout, List[str]]:
             if kite_dof == 6:
                 z += [('m_aero' + label, 3)]
 
+    # lifted induction variables (system.py:233-350). TPU-native design lifts
+    # only the genuinely implicit unknowns: per-kite induced velocity ui and
+    # the actuator induction factors (algebraic for quasi-steady, dynamic
+    # Pitt-Peters states for unsteady); the ~21 per-layer support variables
+    # of the reference are closed-form here (aero/actuator.py).
+    induction_model = user_options['induction_model']
+    if induction_model not in ('not_in_use', 'averaged'):
+        for kite in kite_nodes:
+            z += [('ui' + architecture.node_label(kite), 3)]
+        for layer in architecture.layer_nodes:
+            for lbl in options['processed']['act_comparison_labels']:
+                target = x if lbl[0] == 'u' else z
+                target += [('a_' + lbl + str(layer), 1)]
+                if 'asym' in lbl:
+                    target += [('acos_' + lbl + str(layer), 1),
+                               ('asin_' + lbl + str(layer), 1)]
+
     # design parameters theta (system.py:195-221)
     theta += [('diam_t', 1)]
     if system_type == 'drag_mode':

@@ -57,6 +57,7 @@ class OCP:
     normalization: dict = None            # per-category cost normalization
     single_reelout: bool = False
     periodic: bool = False
+    assemble_nodes_fn: Callable = None    # V -> (shooting, coll_vecs)
 
 
 def _model_node_order(layout):
@@ -413,16 +414,36 @@ def build_ocp(model: Model, options: dict) -> OCP:
         return jax.vmap(model.outputs_fn, in_axes=(0, None, None))(
             shooting, phi, theta0)
 
-    return OCP(model=model, vstruct=vstruct, coll=coll, options=options,
-               n_k=n_k, d=d, phase_idx=phase_idx, switch_kdx=switch_kdx,
-               f_fn=f_fn, eq_fn=eq_fn, ineq_fn=ineq_fn,
-               eq_slices=eq_slices, ineq_slices=ineq_slices,
-               n_eq=n_eq_total, n_ineq=n_ineq_total,
-               time_period_fn=time_period, tf_per_k_fn=tf_per_k,
-               outputs_on_coll_fn=outputs_on_coll,
-               outputs_on_shooting_fn=outputs_on_shooting,
-               cost_components_fn=cost_components,
-               keep_rows=keep_rows, periodic_idx=np.asarray(periodic_idx),
-               cat_mask_matrix=np.asarray(cat_mask_matrix),
-               normalization=normalization,
-               single_reelout=single_reelout, periodic=periodic)
+    ocp = OCP(model=model, vstruct=vstruct, coll=coll, options=options,
+              n_k=n_k, d=d, phase_idx=phase_idx, switch_kdx=switch_kdx,
+              f_fn=f_fn, eq_fn=eq_fn, ineq_fn=ineq_fn,
+              eq_slices=eq_slices, ineq_slices=ineq_slices,
+              n_eq=n_eq_total, n_ineq=n_ineq_total,
+              time_period_fn=time_period, tf_per_k_fn=tf_per_k,
+              outputs_on_coll_fn=outputs_on_coll,
+              outputs_on_shooting_fn=outputs_on_shooting,
+              cost_components_fn=cost_components,
+              keep_rows=keep_rows, periodic_idx=np.asarray(periodic_idx),
+              cat_mask_matrix=np.asarray(cat_mask_matrix),
+              normalization=normalization,
+              single_reelout=single_reelout, periodic=periodic,
+              assemble_nodes_fn=assemble_nodes)
+
+    # vortex-wake induction equalities couple time nodes through the
+    # wake-shedding history, so they attach at the OCP level (substituting
+    # the reference's wake-node fixing constraints,
+    # alg_repr_dir/fixing.py:51-180; see aero/vortex/wake.py)
+    if model.cfg.get('induction_model') == 'vortex':
+        from ..model.aero.vortex.wake import make_vortex_residual_fn
+        vortex_fn, n_vortex = make_vortex_residual_fn(ocp)
+        eq_slices['vortex_induction'] = slice(n_eq_total,
+                                              n_eq_total + n_vortex)
+        base_eq_fn = eq_fn
+
+        def eq_fn_with_vortex(V, P):
+            return jnp.concatenate([base_eq_fn(V, P), vortex_fn(V, P)])
+
+        ocp.eq_fn = eq_fn_with_vortex
+        ocp.n_eq = n_eq_total + n_vortex
+
+    return ocp

@@ -230,8 +230,11 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
 
     if use_structured is None:
         # structured per-node derivatives amortize for larger horizons; the
-        # dense path compiles faster on tiny test problems
-        use_structured = ocp.vstruct.total >= 1200
+        # dense path compiles faster on tiny test problems. The vortex wake
+        # couples nodes through the shedding history, which breaks the
+        # per-node block structure — always use the dense autodiff path there.
+        use_structured = ocp.vstruct.total >= 1200 \
+            and ocp.model.cfg.get('induction_model') != 'vortex'
 
     if solver_cache is not None and 'solver' in solver_cache:
         solver = solver_cache['solver']

@@ -187,11 +187,24 @@ def build_initial_guess(ocp) -> np.ndarray:
     V = np.zeros(vs.total)
 
     # multipliers nonzero: z entries start at scaled 1 (initialization.py:59-69)
+    z_init = np.ones(vs.nz)
+    # induction guesses (initialization_dir/induction.py): ui starts at 0
+    # (the iota step enters with the trivial residual pinned), induction
+    # factors at a_ref
+    a_ref = float(options['model']['aero']['actuator']['a_ref'])
+    for name, dim in layout.entries['z']:
+        sl = layout.slices['z'][name]
+        if name.startswith('ui'):
+            z_init[sl] = 0.
+        elif name.startswith('a_'):
+            z_init[sl] = a_ref / model.scaling['z'][sl]
+        elif name.startswith(('acos_', 'asin_')):
+            z_init[sl] = 0.
     for k in range(n_k):
-        V[vs.z_slice(k)] = 1.0
+        V[vs.z_slice(k)] = z_init
     for k in range(n_k):
         for j in range(d):
-            V[vs.coll_z_slice(k, j)] = 1.0
+            V[vs.coll_z_slice(k, j)] = z_init
 
     # theta
     init_theta = options['processed']['initialization_theta']
@@ -220,6 +233,9 @@ def build_initial_guess(ocp) -> np.ndarray:
             if name in ret:
                 sl = layout.slices['x'][name]
                 out[sl] = np.reshape(np.asarray(ret[name], dtype=float), -1) / scale_x[sl]
+            elif name.startswith('a_'):   # unsteady actuator states
+                sl = layout.slices['x'][name]
+                out[sl] = a_ref / scale_x[sl]
         return out
 
     for k in range(n_k + 1):

@@ -78,6 +78,33 @@ def default_options_tree():
         'aero': {
             'lift_aero_force': False,
             'aero_coeff_ref_velocity': 'eff',
+            'induction': {
+                'comparison': [],          # extra models to co-build: 'act'
+                'force_zero': False,
+            },
+            # vortex-wake options (reference opts/default.py:124-143)
+            'vortex': {
+                'representation': 'alg',
+                'wake_nodes': 5,
+                'far_wake_element_type': 'semi_infinite_filament',
+                'core_to_chord_ratio': 0.05,
+                'filament_strength_from_circulation': 'averaged',
+            },
+            # actuator-disk options (reference opts/default.py:108-123)
+            'actuator': {
+                'steadyness': 'quasi-steady',   # quasi-steady | unsteady
+                'symmetry': 'axisymmetric',     # axisymmetric | asymmetric
+                'steadyness_comparison': [],    # e.g. ['q', 'u']
+                'symmetry_comparison': [],      # e.g. ['axi', 'asym']
+                'a_ref': 0.33,
+                'a_range': [0., 0.5],
+                'a_fourier_range': [-0.01, 0.01],
+                'actuator_skew': 'simple',      # not_in_use|glauert|coleman|simple
+                'wake_skew': 'coleman',         # not_in_use|jimenez|coleman|equal
+                'normal_vector_model': 'tether_parallel',  # tether_parallel|xhat
+                'asym_radial_linearity': False,
+                'support_only': False,
+            },
             'three_dof': {
                 'coeff_max': np.array([2., 80. * np.pi / 180.]),
                 'coeff_min': np.array([0., -80. * np.pi / 180.]),

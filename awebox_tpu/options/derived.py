@@ -418,6 +418,35 @@ def build_processed_options(options: Dict[str, Any], architecture) -> Dict[str, 
         options['model']['system_bounds']['theta'][name] = [value, value]
         initialization_theta[name] = value
 
+    # ---- induction model plumbing (model_funcs.py:520-805) ---------------
+    induction_model = user_options['induction_model']
+    act_labels = []
+    act_primary = None
+    if induction_model in ('actuator', 'vortex'):
+        a_ref_ind = float(options['model']['aero']['actuator']['a_ref'])
+        scaling['z']['ui'] = np.array(
+            a_ref_ind * float(user_options['wind']['u_ref']))
+    if induction_model == 'actuator':
+        act = options['model']['aero']['actuator']
+        steady_map = {'quasi-steady': 'q', 'steady': 'q', 'unsteady': 'u'}
+        sym_map = {'axisymmetric': 'axi', 'asymmetric': 'asym'}
+        act_primary = steady_map[act['steadyness']] + sym_map[act['symmetry']]
+        steadies = sorted(set([steady_map[act['steadyness']]]
+                              + list(act['steadyness_comparison'])))
+        syms = sorted(set([sym_map[act['symmetry']]]
+                          + list(act['symmetry_comparison'])))
+        act_labels = [s + y for s in steadies for y in syms]
+        for lbl in act_labels:
+            holder = 'x' if lbl[0] == 'u' else 'z'
+            scaling[holder]['a_' + lbl] = np.array(1.0)
+            options['model']['system_bounds'][holder]['a_' + lbl] = \
+                list(act['a_range'])
+            if 'asym' in lbl:
+                for prefix in ('acos_', 'asin_'):
+                    scaling[holder][prefix + lbl] = np.array(1.0)
+                    options['model']['system_bounds'][holder][prefix + lbl] = \
+                        list(act['a_fourier_range'])
+
     processed = {
         'geometry': geometry,
         'stab_derivs': stab_derivs,
@@ -444,6 +473,10 @@ def build_processed_options(options: Dict[str, Any], architecture) -> Dict[str, 
         },
         'airspeed_ref': float(np.sqrt(groundspeed ** 2. + u_altitude ** 2.)),
         'anticollision_num_ref': float(groundspeed ** 2.),
+        'induction_model': induction_model,
+        'act_comparison_labels': act_labels,
+        'act_primary_label': act_primary,
+        'act_varrho_ref': float(flight_radius / geometry['b_ref']),
     }
 
     # homotopy power-cost update value (solver.cost.power[1])

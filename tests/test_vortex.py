@@ -1,0 +1,120 @@
+"""Vortex wake model tests.
+
+Runs the embedded Biot-Savart self-tests the way the reference does
+(test/units/test_aero_components.py:14 -> finite_filament.py:117-163), plus
+transcription-level checks of the gathered-wake residual.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awebox_tpu.arch import Architecture
+from awebox_tpu.model.aero.vortex import filaments as fil
+from awebox_tpu.model.builder import make_model
+from awebox_tpu.ocp.transcription import build_ocp
+from tests.test_options import make_ampyx_options
+
+
+def test_embedded_selftests():
+    fil.test_far_field_decay()
+    fil.test_right_hand_rule()
+    fil.test_2d_limit()
+    fil.test_semi_infinite_against_half_symmetry()
+    fil.test_regularization_on_filament()
+
+
+def test_superposition_linearity():
+    """Induction is linear in strength and additive over elements."""
+    f1 = fil.construct_test_filament()
+    f2 = fil.FiniteFilaments(
+        x_start=f1.x_start, x_end=f1.x_end, r_core=f1.r_core,
+        strength=2. * f1.strength)
+    obs = jnp.array([0.3, -0.2, 1.5])
+    u1 = fil.total_induction(f1, None, obs)
+    u2 = fil.total_induction(f2, None, obs)
+    np.testing.assert_allclose(np.asarray(u2), 2. * np.asarray(u1),
+                               rtol=1e-12)
+
+    both = fil.FiniteFilaments(
+        x_start=jnp.concatenate([f1.x_start, f2.x_start]),
+        x_end=jnp.concatenate([f1.x_end, f2.x_end]),
+        r_core=jnp.concatenate([f1.r_core, f2.r_core]),
+        strength=jnp.concatenate([f1.strength, f2.strength]))
+    u_both = fil.total_induction(both, None, obs)
+    np.testing.assert_allclose(np.asarray(u_both),
+                               np.asarray(u1) + np.asarray(u2), rtol=1e-12)
+
+
+def test_closed_ring_center():
+    """A square vortex ring (side L, counterclockwise about +z) induces
+    u = 2 sqrt(2) Gamma / (pi L) at its center along +z (standard
+    magnetostatics-analog result)."""
+    L = 2.
+    g = 3.
+    pts = np.array([[-1., -1., 0.], [1., -1., 0.], [1., 1., 0.],
+                    [-1., 1., 0.]])
+    ring = fil.FiniteFilaments(
+        x_start=jnp.asarray(pts),
+        x_end=jnp.asarray(np.roll(pts, -1, axis=0)),
+        r_core=jnp.zeros(4),
+        strength=jnp.full(4, g))
+    u = fil.total_induction(ring, None, jnp.zeros(3))
+    expected = 2. * np.sqrt(2.) * g / (np.pi * L)
+    np.testing.assert_allclose(float(u[2]), expected, rtol=1e-10)
+    assert abs(float(u[0])) < 1e-12 and abs(float(u[1])) < 1e-12
+
+
+def make_vortex_options():
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.induction_model'] = 'vortex'
+    options['model.aero.vortex.wake_nodes'] = 3
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    return options
+
+
+@pytest.fixture(scope='module')
+def vortex_ocp():
+    options = make_vortex_options()
+    arch = Architecture({1: 0})
+    built = options.build(arch)
+    model = make_model(built, arch)
+    return build_ocp(model, built), built
+
+
+def test_vortex_variables_and_rows(vortex_ocp):
+    ocp, built = vortex_ocp
+    model = ocp.model
+    assert 'ui10' in model.layout.names('z')
+    # no lifted wake-node positions/strengths — substituted by gathers
+    assert not any(n.startswith('wx') or n.startswith('wg')
+                   for n in model.layout.names('z'))
+    assert 'vortex_induction' in ocp.eq_slices
+    sl = ocp.eq_slices['vortex_induction']
+    assert sl.stop - sl.start == 3 * ocp.n_k * (1 + ocp.d)
+
+
+def test_vortex_residual_semantics(vortex_ocp):
+    """At iota=1 the vortex rows reduce to ui/u_ref, independent of the
+    wake; at iota=0 they equal (ui - ui_biot_savart)/u_ref with finite
+    Biot-Savart values."""
+    import jax
+    ocp, built = vortex_ocp
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+    from awebox_tpu.opti.homotopy import build_p_fix
+    V = build_initial_guess(ocp)
+    P = build_p_fix(ocp, build_reference(ocp, V))
+
+    sl = ocp.eq_slices['vortex_induction']
+    res1 = np.asarray(ocp.eq_fn(jnp.asarray(V), P))[sl]
+    # initial guess has ui = 0, so rows vanish at iota = 1
+    assert np.max(np.abs(res1)) < 1e-10
+
+    V0 = V.copy()
+    V0[ocp.vstruct.phi_slice.start + 2] = 0.   # iota = 0 (PHI_NAMES[2])
+    res0 = np.asarray(ocp.eq_fn(jnp.asarray(V0), P))[sl]
+    assert np.all(np.isfinite(res0))
+    # on a crosswind circle the wake induces a nonzero velocity at the kite
+    assert np.max(np.abs(res0)) > 1e-6
