@@ -1,0 +1,611 @@
+"""Block-structured KKT factorization for direct collocation NLPs.
+
+This is the MA57 replacement (reference opts/default.py:322; SURVEY section 7
+hard-part 1): the condensed primal-dual system
+
+    M dw = rhs,   M = W + A^T D^-1 A,
+    W = H + Sigma + delta_w I  (masked to free variables),
+
+is factorized WITHOUT ever materializing M. Direct collocation makes M
+block-structured by interval: ordering the variables as
+
+    interval k frame:  [x_k | x_{k+1} | interior_k | border]
+    interior_k      =  [u_k, xdot_k, z_k, coll_x[k,:], coll_z[k,:]]
+    border          =  [x_0, theta, phi]
+
+every Hessian/Jacobian contribution of interval k lives inside that frame
+(x_0 sits in the border so the periodicity corner x_0 <-> coll_x[n_k-1,:]
+stays inside the last frame). The factorization is a two-level signed
+Cholesky, valid because M is positive definite whenever the regularized KKT
+matrix has the correct inertia (Forsgren-Gill; chol succeeding IS the inertia
+test, replacing MA57's pivoting):
+
+1. interior elimination  - vmapped over intervals (parallel):
+       L_i = chol(M_ii);  Schur updates onto (x_k, x_{k+1}, border)
+2. chain factorization   - block-tridiagonal Cholesky over x_1..x_{n_k}
+   with a border column [x_0, theta, phi] (arrowhead), via lax.scan
+   (n_k sequential steps of nx-by-nx MXU work)
+3. border Cholesky       - small dense factor.
+
+Per-iteration complexity is O(n_k * local^3) instead of dense O((n_k*local)^3),
+memory O(n_k * local^2) instead of O((n_k*local)^2); everything vmaps over a
+scenario batch axis for the parallel sweep path (SURVEY section 5.8).
+
+The vortex induction model couples intervals through the wake history and is
+not representable here; the solver falls back to the dense path there.
+"""
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .structured import make_local_kit
+from .transcription import OCP
+
+
+# ---------------------------------------------------------------------------
+# static maps
+# ---------------------------------------------------------------------------
+
+def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
+    if kit is None:
+        kit = make_local_kit(ocp)
+    vs = ocp.vstruct
+    n_k, d = kit.n_k, kit.d
+    nx, nu, nxd, nz = kit.nx, kit.nu, kit.nxd, kit.nz
+    ntheta_V, nphi = kit.ntheta_V, kit.nphi
+    n_eq_m, n_sh, n_ineq_m = kit.n_eq_m, kit.n_sh, kit.n_ineq_m
+
+    ni = nu + nxd + nz + d * nx + d * nz
+    nb = nx + ntheta_V + nphi
+    nloc = 2 * nx + ni + nb
+
+    off_b, off_bn, off_i = 0, nx, 2 * nx
+    off_g = 2 * nx + ni
+    i_u, i_xd = 0, nu
+    i_z = nu + nxd
+    i_cx = i_z + nz
+    i_cz = i_cx + d * nx
+    g_x0, g_th, g_phi = 0, nx, nx + ntheta_V
+
+    ar = np.arange
+
+    # frame-position maps for the local (per-node) jacobian columns; x_k maps
+    # to the border x0 block for k=0, to the b slot otherwise
+    def xk_pos(k):
+        return (off_g + g_x0 + ar(nx)) if k == 0 else (off_b + ar(nx))
+
+    loc_c = nx * (d + 1) + nu + nz + ntheta_V + nphi
+    coll_cols = np.zeros((n_k, d, loc_c), dtype=np.int32)
+    for k in range(n_k):
+        for j in range(d):
+            cols = [xk_pos(k)]
+            for r in range(d):
+                cols.append(off_i + i_cx + r * nx + ar(nx))
+            cols.append(off_i + i_u + ar(nu))
+            cols.append(off_i + i_cz + j * nz + ar(nz))
+            cols.append(off_g + g_th + ar(ntheta_V))
+            cols.append(off_g + g_phi + ar(nphi))
+            coll_cols[k, j] = np.concatenate(cols)
+
+    loc_s = nx + nxd + nu + nz + ntheta_V + nphi
+    sh_cols = np.zeros((n_k, loc_s), dtype=np.int32)
+    for k in range(n_k):
+        sh_cols[k] = np.concatenate([
+            xk_pos(k), off_i + i_xd + ar(nxd), off_i + i_u + ar(nu),
+            off_i + i_z + ar(nz), off_g + g_th + ar(ntheta_V),
+            off_g + g_phi + ar(nphi)])
+
+    # continuity rows: x_{k+1} - cont0*x_k - sum_r cont_r*coll_x[k,r] = 0
+    cont = kit.cont
+    A_cont = np.zeros((n_k, nx, nloc))
+    for k in range(n_k):
+        A_cont[k, ar(nx), off_bn + ar(nx)] = 1.0
+        A_cont[k, ar(nx), xk_pos(k)] = -cont[0]
+        for r in range(d):
+            A_cont[k, ar(nx), off_i + i_cx + r * nx + ar(nx)] = -cont[r + 1]
+
+    # extra (global) rows pinned to one interval each, zero-padded elsewhere
+    extra_rows = []   # list of (k_owner, gid, nloc-coefficient-row)
+    eq_slices = ocp.eq_slices
+    layout = ocp.model.layout
+    n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
+    trash = n_eq + n_ineq
+
+    if 'initial_e' in eq_slices and eq_slices['initial_e'].stop > eq_slices['initial_e'].start:
+        e_pos = layout.slices['x']['e'].start
+        row = np.zeros(nloc)
+        row[off_g + g_x0 + e_pos] = 1.0
+        extra_rows.append((0, eq_slices['initial_e'].start, row))
+
+    if ocp.periodic and 'periodic' in eq_slices:
+        pidx = np.asarray(ocp.periodic_idx)
+        p0 = eq_slices['periodic'].start
+        for i, xi in enumerate(pidx):
+            row = np.zeros(nloc)
+            row[off_g + g_x0 + int(xi)] = 1.0
+            if kit.radau:
+                row[off_i + i_cx + (d - 1) * nx + int(xi)] = -1.0
+            else:
+                row[off_bn + int(xi)] = -1.0
+            extra_rows.append((n_k - 1, p0 + i, row))
+
+    if ocp.single_reelout and 't_f_bounds' in ocp.ineq_slices:
+        tf_sl_V = vs.theta_slice('t_f')
+        th_off = vs.offsets['theta']
+        scale = ocp.options['nlp']['phase_fix_reelout']
+        wts = np.array([ocp.switch_kdx / n_k, (n_k - ocp.switch_kdx) / n_k]) / scale
+        r0 = n_eq + ocp.ineq_slices['t_f_bounds'].start
+        row_p = np.zeros(nloc)
+        row_m = np.zeros(nloc)
+        for i in range(tf_sl_V.stop - tf_sl_V.start):
+            pos = off_g + g_th + (tf_sl_V.start - th_off) + i
+            row_p[pos] = wts[i]
+            row_m[pos] = -wts[i]
+        extra_rows.append((0, r0, row_p))
+        extra_rows.append((0, r0 + 1, row_m))
+
+    n_extra = len(extra_rows)
+    A_extra = np.zeros((n_k, n_extra, nloc))
+    extra_gid = np.full((n_k, n_extra), trash, dtype=np.int32)
+    for i, (k_own, gid, row) in enumerate(extra_rows):
+        A_extra[k_own, i] = row
+        extra_gid[k_own, i] = gid
+
+    # global row ids per interval row stack
+    sh_rows0 = eq_slices['shooting'].start
+    coll_rows0 = eq_slices['collocation'].start
+    cont_rows0 = eq_slices['continuity'].start
+    path_rows0 = (n_eq + ocp.ineq_slices['path'].start) if n_ineq_m else None
+
+    sh_gid = sh_rows0 + ar(n_k)[:, None] * n_sh + ar(n_sh)[None, :]
+    coll_gid = coll_rows0 + ar(n_k)[:, None] * (d * n_eq_m) + ar(d * n_eq_m)[None, :]
+    cont_gid = cont_rows0 + ar(n_k)[:, None] * nx + ar(nx)[None, :]
+    gid_parts = [sh_gid, coll_gid, cont_gid]
+    if n_ineq_m:
+        gid_parts.append(path_rows0 + ar(n_k)[:, None] * n_ineq_m + ar(n_ineq_m)[None, :])
+    gid_parts.append(extra_gid)
+    row_gid = np.concatenate(gid_parts, axis=1).astype(np.int32)
+    m_rows = row_gid.shape[1]
+
+    # V-index maps for (chain, interior, border) routing
+    chain_V = np.zeros((n_k, nx), dtype=np.int32)
+    intr_V = np.zeros((n_k, ni), dtype=np.int32)
+    for k in range(n_k):
+        chain_V[k] = ar(vs.x_slice(k + 1).start, vs.x_slice(k + 1).stop)
+        parts = [ar(vs.u_slice(k).start, vs.u_slice(k).stop),
+                 ar(vs.xdot_slice(k).start, vs.xdot_slice(k).stop),
+                 ar(vs.z_slice(k).start, vs.z_slice(k).stop)]
+        for r in range(d):
+            parts.append(ar(vs.coll_x_slice(k, r).start, vs.coll_x_slice(k, r).stop))
+        for r in range(d):
+            parts.append(ar(vs.coll_z_slice(k, r).start, vs.coll_z_slice(k, r).stop))
+        intr_V[k] = np.concatenate(parts)
+    border_V = np.concatenate([
+        ar(vs.x_slice(0).start, vs.x_slice(0).stop),
+        ar(vs.offsets['theta'], vs.offsets['theta'] + ntheta_V),
+        ar(vs.phi_slice.start, vs.phi_slice.stop)]).astype(np.int32)
+
+    # frame -> V gather map (for dframe gathering / matvec routing); the b
+    # slot of interval 0 is unused (all-zero rows/cols) and points at x_0
+    frame_V = np.zeros((n_k, nloc), dtype=np.int32)
+    for k in range(n_k):
+        frame_V[k, off_b:off_b + nx] = ar(vs.x_slice(k).start, vs.x_slice(k).stop)
+        frame_V[k, off_bn:off_bn + nx] = chain_V[k]
+        frame_V[k, off_i:off_i + ni] = intr_V[k]
+        frame_V[k, off_g:] = border_V
+
+    # diagonal ownership inside the frames: x_k owned by frame k's b slot for
+    # k >= 1, x_0 / theta / phi by frame 0's border slot, x_{n_k} by the last
+    # frame's bn slot, interiors by their own frame
+    own = np.zeros((n_k, nloc))
+    for k in range(n_k):
+        if k >= 1:
+            own[k, off_b:off_b + nx] = 1.0
+        own[k, off_i:off_i + ni] = 1.0
+    own[n_k - 1, off_bn:off_bn + nx] = 1.0
+    own[0, off_g:] = 1.0
+
+    # H_glob frame positions (inside the LAST frame): [e(x_{n_k}), t_f, psi]
+    e_pos = layout.slices['x']['e'].start
+    tf_sl_V = vs.theta_slice('t_f')
+    th_off = vs.offsets['theta']
+    glob_frame = np.concatenate([
+        [off_bn + e_pos],
+        off_g + g_th + (ar(tf_sl_V.start, tf_sl_V.stop) - th_off),
+        [off_g + g_phi + 4],   # psi is PHI_NAMES[4]
+    ]).astype(np.int32)
+    from ..model.system import PHI_NAMES
+    glob_frame[-1] = off_g + g_phi + PHI_NAMES.index('psi')
+
+    return SimpleNamespace(
+        kit=kit, n_k=n_k, d=d, nx=nx, ni=ni, nb=nb, nloc=nloc,
+        off_b=off_b, off_bn=off_bn, off_i=off_i, off_g=off_g,
+        n_eq_m=n_eq_m, n_sh=n_sh, n_ineq_m=n_ineq_m, m_rows=m_rows,
+        coll_cols=coll_cols, sh_cols=sh_cols,
+        A_cont=A_cont, A_extra=A_extra, n_extra=n_extra,
+        row_gid=row_gid, trash=trash,
+        chain_V=chain_V, intr_V=intr_V, border_V=border_V, frame_V=frame_V,
+        own=own, glob_frame=glob_frame,
+        n_eq=n_eq, n_ineq=n_ineq, n=kit.n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# derivative blocks
+# ---------------------------------------------------------------------------
+
+def make_block_derivs(ocp: OCP, maps=None) -> Callable:
+    """(w, y, lam, P) -> blocks dict with per-node jacobians/hessians and
+    NLP values; never materializes (n_eq x n) or (n x n)."""
+    if maps is None:
+        maps = build_block_maps(ocp)
+    kit = maps.kit
+    n_k, d = maps.n_k, maps.d
+    n_eq_m, n_sh, n_ineq_m = maps.n_eq_m, maps.n_sh, maps.n_ineq_m
+
+    coll_idx_j = jnp.asarray(kit.coll_idx)
+    sh_idx_j = jnp.asarray(kit.sh_idx)
+    c_rows_j = jnp.asarray(kit.c_rows)
+    sel_rows_j = jnp.asarray(kit.sel_rows)
+    phase_ws_j = jnp.asarray(kit.phase_ws)
+    sh_phase_ws_j = jnp.asarray(kit.sh_phase_ws)
+    int_ws_j = jnp.asarray(kit.int_ws)
+    glob_idx = jnp.asarray(kit.glob_idx)
+    eq_slices = ocp.eq_slices
+
+    f_fn, eq_fn, ineq_fn = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
+
+    def derivs(w, y, lam, P):
+        theta0 = P['theta0']
+        fval = f_fn(w, P)
+        gradf = jax.grad(f_fn)(w, P)
+        cE = eq_fn(w, P)
+        cI = ineq_fn(w, P)
+
+        coll_locals = w[coll_idx_j]
+        sh_locals = w[sh_idx_j]
+
+        J_coll = jax.vmap(jax.jacfwd(kit.coll_eq_local), in_axes=(0, 0, 0, 0, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
+        J_sh = jax.vmap(jax.jacfwd(kit.sh_eq_local), in_axes=(0, 0, None))(
+            sh_locals, sh_phase_ws_j, theta0)
+        J_path = None
+        if n_ineq_m:
+            J_path = jax.vmap(jax.jacfwd(kit.sh_ineq_local), in_axes=(0, 0, None))(
+                sh_locals, sh_phase_ws_j, theta0)
+
+        lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
+        lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
+        ref_vecs = kit.ref_nodes_from_P(P)
+
+        H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
+                          in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+            ref_vecs, lam_coll, P, theta0)
+        if n_ineq_m:
+            lam_path = lam[ocp.ineq_slices['path'].start:
+                           ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
+        else:
+            lam_path = jnp.zeros((n_k, 0))
+        H_sh = jax.vmap(jax.hessian(kit.sh_scalar), in_axes=(0, 0, 0, 0, None))(
+            sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
+        H_glob = jax.hessian(kit.global_cost)(w[glob_idx], P)
+
+        return dict(fval=fval, gradf=gradf, cE=cE, cI=cI,
+                    J_coll=J_coll.reshape(n_k, d * n_eq_m, -1),
+                    J_coll_nodes=J_coll.reshape(n_k, d, n_eq_m, -1),
+                    J_sh=J_sh, J_path=J_path,
+                    H_coll=H_coll.reshape(n_k, d, H_coll.shape[-1], H_coll.shape[-1]),
+                    H_sh=H_sh, H_glob=H_glob)
+
+    return derivs
+
+
+# ---------------------------------------------------------------------------
+# assembly + factorization + solve
+# ---------------------------------------------------------------------------
+
+def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
+                   n_refine: int = 2):
+    """Returns (derivs_fn, kkt_solve) where kkt_solve mirrors the dense
+    primal-dual direction computation of ipsolver._kkt_solve but runs the
+    two-level block factorization with an in-jit regularization ladder.
+
+    kkt_solve(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+              delta_w, delta_c, delta_ce)
+        -> (dw, dy, dlam, ds, dzl, dzu, ok, delta_used)
+    """
+    maps = build_block_maps(ocp)
+    derivs_fn = make_block_derivs(ocp, maps)
+
+    n_k, d = maps.n_k, maps.d
+    nx, ni, nb, nloc = maps.nx, maps.ni, maps.nb, maps.nloc
+    ob, obn, oi, og = maps.off_b, maps.off_bn, maps.off_i, maps.off_g
+    n_eq, n_ineq, n = maps.n_eq, maps.n_ineq, maps.n
+    n_sh, n_eq_m, n_ineq_m = maps.n_sh, maps.n_eq_m, maps.n_ineq_m
+
+    coll_cols = jnp.asarray(maps.coll_cols)
+    sh_cols = jnp.asarray(maps.sh_cols)
+    A_cont = jnp.asarray(maps.A_cont)
+    A_extra = jnp.asarray(maps.A_extra)
+    row_gid = jnp.asarray(maps.row_gid)
+    chain_V = jnp.asarray(maps.chain_V)
+    intr_V = jnp.asarray(maps.intr_V)
+    border_V = jnp.asarray(maps.border_V)
+    frame_V = jnp.asarray(maps.frame_V)
+    own = jnp.asarray(maps.own)
+    glob_frame = jnp.asarray(maps.glob_frame)
+
+    st = jax.scipy.linalg.solve_triangular
+
+    def scatter_frame(Hc_k, Hs_k, ccols_k, scols_k):
+        F = jnp.zeros((nloc, nloc))
+        for j in range(d):
+            cj = ccols_k[j]
+            F = F.at[cj[:, None], cj[None, :]].add(Hc_k[j])
+        F = F.at[scols_k[:, None], scols_k[None, :]].add(Hs_k)
+        return F
+
+    def build_A_frame(blocks):
+        """(n_k, m_rows, nloc) constraint jacobian in frame coordinates."""
+        J_coll_nodes = blocks['J_coll_nodes']      # (n_k, d, n_eq_m, loc_c)
+        J_sh = blocks['J_sh']                      # (n_k, n_sh, loc_s)
+        J_path = blocks['J_path']                  # (n_k, n_ineq_m, loc_s)
+
+        def one(Jc_k, Js_k, Jp_k, ccols_k, scols_k, Ac_k, Ae_k):
+            rows = []
+            As = jnp.zeros((n_sh, nloc)).at[:, scols_k].add(Js_k)
+            rows.append(As)
+            for j in range(d):
+                Acj = jnp.zeros((n_eq_m, nloc)).at[:, ccols_k[j]].add(Jc_k[j])
+                rows.append(Acj)
+            rows.append(Ac_k)
+            if n_ineq_m:
+                Ap = jnp.zeros((n_ineq_m, nloc)).at[:, scols_k].add(Jp_k)
+                rows.append(Ap)
+            rows.append(Ae_k)
+            return jnp.concatenate(rows, axis=0)
+
+        if n_ineq_m:
+            return jax.vmap(one)(J_coll_nodes, J_sh, J_path, coll_cols,
+                                 sh_cols, A_cont, A_extra)
+        return jax.vmap(lambda a, b, c, dd, e, f: one(a, b, None, c, dd, e, f))(
+            J_coll_nodes, J_sh, coll_cols, sh_cols, A_cont, A_extra)
+
+    def kkt_solve(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                  delta_w, delta_c, delta_ce):
+        gradf, cE, cI = blocks['gradf'], blocks['cE'], blocks['cI']
+        gradf = jnp.where(jnp.isfinite(gradf), gradf, 0.)
+        cE = jnp.where(jnp.isfinite(cE), cE, 0.)
+        cI = jnp.where(jnp.isfinite(cI), cI, 0.)
+
+        dl = jnp.maximum(w - lbw, 1e-20)
+        du = jnp.maximum(ubw - w, 1e-20)
+        sigma = jnp.clip(zl / dl + zu / du, 0., 1e16)
+
+        lam_safe = jnp.maximum(lam, 1e-12)
+        D_glob = jnp.concatenate([
+            delta_ce * jnp.ones(n_eq),
+            s / lam_safe + delta_c * jnp.ones(n_ineq)])
+        D_ext = jnp.concatenate([D_glob, jnp.array([1e30])])
+        r2_glob = jnp.concatenate([cE, cI + mu / lam_safe]) \
+            if n_ineq else cE
+        r2_ext = jnp.concatenate([r2_glob, jnp.zeros(1)])
+
+        D_k = D_ext[row_gid]                # (n_k, m_rows)
+        r2_k = r2_ext[row_gid]
+
+        free_frame = free[frame_V]          # (n_k, nloc)
+        A = build_A_frame(blocks)
+        A = jnp.where(jnp.isfinite(A), A, 0.)
+        A = A * free_frame[:, None, :]
+
+        # --- frame assembly: H scatters + sigma + mask + A^T D^-1 A --------
+        Hc = jnp.where(jnp.isfinite(blocks['H_coll']), blocks['H_coll'], 0.)
+        Hs = jnp.where(jnp.isfinite(blocks['H_sh']), blocks['H_sh'], 0.)
+        Frame = jax.vmap(scatter_frame)(Hc, Hs, coll_cols, sh_cols)
+        Hg = jnp.where(jnp.isfinite(blocks['H_glob']), blocks['H_glob'], 0.)
+        Frame = Frame.at[n_k - 1, glob_frame[:, None], glob_frame[None, :]].add(Hg)
+
+        diag_idx = jnp.arange(nloc)
+        Frame = Frame.at[:, diag_idx, diag_idx].add(own * sigma[frame_V])
+        Frame = Frame * (free_frame[:, :, None] * free_frame[:, None, :])
+        Frame = Frame.at[:, diag_idx, diag_idx].add(own * (1. - free[frame_V]))
+        Frame = Frame + jnp.einsum('kri,kr,krj->kij', A, 1. / D_k, A)
+
+        own_free = own * free[frame_V]      # delta_w goes on free owners only
+
+        # --- rhs ------------------------------------------------------------
+        # r1 = -(gradf + A^T nu - mu/dl + mu/du) * free, computed per interval
+        # and scattered back (each constraint row lives in exactly one frame)
+        nu_glob = jnp.concatenate([y, lam]) if n_ineq else y
+        nu_ext = jnp.concatenate([nu_glob, jnp.zeros(1)])
+        Atnu_frames = jnp.einsum('krj,kr->kj', A, nu_ext[row_gid])
+        Atnu = jnp.zeros(n).at[frame_V.reshape(-1)].add(Atnu_frames.reshape(-1))
+        r1 = -(gradf + Atnu - mu / dl + mu / du) * free
+        Atr2D_frames = jnp.einsum('krj,kr->kj', A, r2_k / D_k)
+        Atr2D = jnp.zeros(n).at[frame_V.reshape(-1)].add(Atr2D_frames.reshape(-1))
+        rhs_w = r1 - Atr2D
+
+        # --- two-level factorization with in-jit delta ladder ---------------
+        def factor(delta):
+            dfree = delta * own_free
+            Fr = Frame.at[:, diag_idx, diag_idx].add(dfree)
+
+            Mii = Fr[:, oi:oi + ni, oi:oi + ni]
+            Mib = Fr[:, oi:oi + ni, ob:ob + nx]
+            Mibn = Fr[:, oi:oi + ni, obn:obn + nx]
+            Mig = Fr[:, oi:oi + ni, og:og + nb]
+            bb = Fr[:, ob:ob + nx, ob:ob + nx]
+            bnbn = Fr[:, obn:obn + nx, obn:obn + nx]
+            bbn = Fr[:, ob:ob + nx, obn:obn + nx]
+            bg = Fr[:, ob:ob + nx, og:og + nb]
+            bng = Fr[:, obn:obn + nx, og:og + nb]
+            gg = jnp.sum(Fr[:, og:og + nb, og:og + nb], axis=0)
+
+            # 1. interior elimination (parallel over intervals)
+            Li = jnp.linalg.cholesky(Mii)
+            Xb = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mib)
+            Xbn = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mibn)
+            Xg = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mig)
+
+            bb_s = bb - jnp.einsum('kij,kil->kjl', Xb, Xb)
+            bnbn_s = bnbn - jnp.einsum('kij,kil->kjl', Xbn, Xbn)
+            bbn_s = bbn - jnp.einsum('kij,kil->kjl', Xb, Xbn)
+            bg_s = bg - jnp.einsum('kij,kil->kjl', Xb, Xg)
+            bng_s = bng - jnp.einsum('kij,kil->kjl', Xbn, Xg)
+            gg_s = gg - jnp.einsum('kij,kil->jl', Xg, Xg)
+
+            # 2. chain containers: T_diag[j] ~ x_{j+1}
+            T_diag = bnbn_s + jnp.concatenate(
+                [bb_s[1:], jnp.zeros((1, nx, nx))], axis=0)
+            T_off = bbn_s[1:]                       # (n_k-1, nx, nx): (x_j+1, x_j+2)
+            Fb = bng_s + jnp.concatenate(
+                [bg_s[1:], jnp.zeros((1, nx, nb))], axis=0)
+            G = gg_s
+
+            # block-tridiagonal Cholesky with border, scan over the chain
+            T_off_pad = jnp.concatenate([T_off, jnp.zeros((1, nx, nx))], axis=0)
+
+            def chain_step(carry, inp):
+                X_prev, B_prev, S = carry           # X_prev = L_{j,j-1}^T
+                T_jj, T_jn, F_j = inp
+                L_j = jnp.linalg.cholesky(T_jj - X_prev.T @ X_prev)
+                # L_{j+1,j}^T = L_j^-1 T_{j,j+1}
+                X_j = st(L_j, T_jn, lower=True)
+                # border row: L_{g,j} = (F_j^T - B_prev X_prev) L_j^-T
+                Bj_rhs = F_j.T - B_prev @ X_prev
+                B_j = st(L_j, Bj_rhs.T, lower=True).T
+                S = S + B_j @ B_j.T
+                return (X_j, B_j, S), (L_j, X_prev, B_j)
+
+            (X_last, B_last, S), (L_chain, X_chain, B_chain) = jax.lax.scan(
+                chain_step,
+                (jnp.zeros((nx, nx)), jnp.zeros((nb, nx)), jnp.zeros((nb, nb))),
+                (T_diag, T_off_pad, Fb))
+
+            L_gg = jnp.linalg.cholesky(G - S)
+
+            ok = (jnp.all(jnp.isfinite(Li)) & jnp.all(jnp.isfinite(L_chain))
+                  & jnp.all(jnp.isfinite(L_gg)))
+            return dict(Li=Li, Xb=Xb, Xbn=Xbn, Xg=Xg,
+                        L_chain=L_chain, X_chain=X_chain, B_chain=B_chain,
+                        L_gg=L_gg, ok=ok)
+
+        fac0 = factor(delta_w)
+
+        def ladder_cond(carry):
+            k, delta, fac = carry
+            return jnp.logical_and(~fac['ok'], k < n_ladder)
+
+        def ladder_body(carry):
+            k, delta, fac = carry
+            delta = jnp.maximum(delta * ladder_factor, 1e-8)
+            return k + 1, delta, factor(delta)
+
+        _, delta_used, fac = jax.lax.while_loop(
+            ladder_cond, ladder_body, (jnp.asarray(0), jnp.asarray(delta_w), fac0))
+
+        # --- structured solve -----------------------------------------------
+        def block_solve(rhs):
+            r_chain = rhs[chain_V]              # (n_k, nx)
+            r_intr = rhs[intr_V]                # (n_k, ni)
+            r_bord = rhs[border_V]              # (nb,)
+
+            # interior forward elimination
+            t = jax.vmap(lambda L, b: st(L, b, lower=True))(fac['Li'], r_intr)
+            # chain rhs updates: chain j gets Xbn[j]^T t[j] + Xb[j+1]^T t[j+1]
+            upd = jnp.einsum('kij,ki->kj', fac['Xbn'], t)
+            upd_b = jnp.einsum('kij,ki->kj', fac['Xb'], t)
+            r_chain = r_chain - upd
+            r_chain = r_chain.at[:-1].add(-upd_b[1:])
+            r_bord = r_bord - jnp.einsum('kij,ki->j', fac['Xg'], t)
+
+            # chain forward: u_j = L_j^-1 (r_j - L_{j,j-1} u_{j-1})
+            def fwd(carry, inp):
+                u_prev = carry
+                L_j, X_prev, r_j = inp
+                u_j = st(L_j, r_j - X_prev.T @ u_prev, lower=True)
+                return u_j, u_j
+            _, u = jax.lax.scan(fwd, jnp.zeros(nx),
+                                (fac['L_chain'], fac['X_chain'], r_chain))
+            u_g = st(fac['L_gg'],
+                     r_bord - jnp.einsum('kij,kj->i', fac['B_chain'], u),
+                     lower=True)
+
+            # backward: x_g then chain reverse
+            x_g = st(fac['L_gg'].T, u_g, lower=False)
+            X_next = jnp.concatenate([fac['X_chain'][1:],
+                                      jnp.zeros((1, nx, nx))], axis=0)
+
+            def bwd(carry, inp):
+                x_next = carry
+                L_j, X_j, B_j, u_j = inp
+                x_j = st(L_j.T, u_j - X_j @ x_next - B_j.T @ x_g, lower=False)
+                return x_j, x_j
+            _, x_chain = jax.lax.scan(
+                bwd, jnp.zeros(nx),
+                (fac['L_chain'], X_next, fac['B_chain'], u), reverse=True)
+
+            # interior back substitution
+            xb_full = jnp.concatenate([x_g[None, :nx], x_chain[:-1]], axis=0)
+            rhs_i = t - jnp.einsum('kij,kj->ki', fac['Xb'], xb_full) \
+                - jnp.einsum('kij,kj->ki', fac['Xbn'], x_chain) \
+                - jnp.einsum('kij,j->ki', fac['Xg'], x_g)
+            x_intr = jax.vmap(lambda L, b: st(L.T, b, lower=False))(fac['Li'], rhs_i)
+
+            out = jnp.zeros(n)
+            out = out.at[chain_V.reshape(-1)].set(x_chain.reshape(-1))
+            out = out.at[intr_V.reshape(-1)].set(x_intr.reshape(-1))
+            out = out.at[border_V].set(x_g)
+            return out
+
+        def matvec(v):
+            """M v via the frame pieces + the ladder damping."""
+            v_frames = v[frame_V]
+            y_frames = jnp.einsum('kij,kj->ki', Frame, v_frames)
+            out = jnp.zeros(n).at[frame_V.reshape(-1)].add(y_frames.reshape(-1))
+            return out + delta_used * (own_free[0] * 0. + 0.) \
+                + delta_used * free * v   # ownership sums to 1 per free var
+
+        dw = block_solve(rhs_w)
+        for _ in range(n_refine):
+            dw = dw + block_solve(rhs_w - matvec(dw))
+        dw = dw * free
+        dw = jnp.where(jnp.isfinite(dw), dw, 0.)
+
+        # multipliers: dnu = (A dw + r2) / D, row-local per interval
+        dw_frames = dw[frame_V]
+        Adw = jnp.einsum('krj,kj->kr', A, dw_frames)
+        dnu_rows = (Adw + r2_k) / D_k
+        dnu = jnp.zeros(n_eq + n_ineq + 1).at[row_gid.reshape(-1)].set(
+            dnu_rows.reshape(-1))[:n_eq + n_ineq]
+        dnu = jnp.where(jnp.isfinite(dnu), dnu, 0.)
+        dy = dnu[:n_eq]
+        dlam = dnu[n_eq:]
+
+        ds = -(cI + s) - (jnp.zeros(n_ineq) if n_ineq == 0 else _JI_dw(blocks, dw)) \
+            if n_ineq else jnp.zeros(0)
+        dzl = mu / dl - zl - zl * dw / dl
+        dzu = mu / du - zu + zu * dw / du
+        return dw, dy, dlam, ds, dzl, dzu, fac['ok'], delta_used
+
+    def _JI_dw(blocks, dw):
+        """JI @ dw without materializing JI: path rows + t_f rows."""
+        parts = jnp.zeros(n_ineq)
+        if n_ineq_m:
+            dw_sh = dw[jnp.asarray(maps.kit.sh_idx)]
+            Jp = jnp.where(jnp.isfinite(blocks['J_path']), blocks['J_path'], 0.)
+            vals = jnp.einsum('krj,kj->kr', Jp, dw_sh)
+            parts = parts.at[ocp.ineq_slices['path'].start:
+                             ocp.ineq_slices['path'].stop].set(vals.reshape(-1))
+        for (r, c, v) in maps.kit.ineq_lin:
+            parts = parts.at[r].add(v * dw[c])
+        return parts
+
+    return derivs_fn, kkt_solve, maps

@@ -3,10 +3,19 @@
 The direct-collocation Lagrangian separates into per-node local functions plus
 linear coupling (continuity/periodicity) and a small global term. This module
 computes the NLP's constraint Jacobians and Lagrangian Hessian as vmapped
-per-node dense blocks scattered into the full matrices - the TPU-native
-counterpart of CasADi's sparse AD + Function.map + MA57's sparse handling
-(reference ocp/constraints.py:239-278). Per-iteration cost becomes
-O(nodes x local^2) batched work instead of O(n) full-graph sweeps.
+per-node dense blocks - the TPU-native counterpart of CasADi's sparse AD +
+Function.map + MA57's sparse handling (reference ocp/constraints.py:239-278).
+Per-iteration cost becomes O(nodes x local^2) batched work instead of O(n)
+full-graph sweeps.
+
+Two consumers share the per-node local machinery built by
+:func:`make_local_kit`:
+
+- :func:`make_structured_derivs` scatters the blocks into dense (JE, JI, H)
+  for the host-driven robust solver (small problems);
+- :mod:`awebox_tpu.ocp.blockkkt` keeps the blocks in interval form and
+  factorizes the condensed KKT system without ever materializing dense
+  matrices (the MA57 replacement, SURVEY section 7 hard-part 1).
 
 Local variables of a collocation node (k, j):
     [x_k, coll_x[k, 0..d-1], u_k, coll_z[k, j], theta_V, phi]
@@ -17,6 +26,7 @@ across nodes.
 """
 from __future__ import annotations
 
+from types import SimpleNamespace
 from typing import Callable
 
 import jax
@@ -31,7 +41,8 @@ def _idx(sl: slice) -> np.ndarray:
     return np.arange(sl.start, sl.stop)
 
 
-def make_structured_derivs(ocp: OCP) -> Callable:
+def make_local_kit(ocp: OCP) -> SimpleNamespace:
+    """Static index maps + per-node local functions of the collocation NLP."""
     model = ocp.model
     layout = model.layout
     vs = ocp.vstruct
@@ -86,9 +97,6 @@ def make_structured_derivs(ocp: OCP) -> Callable:
             _idx(vs.x_slice(k)), _idx(vs.xdot_slice(k)), _idx(vs.u_slice(k)),
             _idx(vs.z_slice(k)), theta_idx, phi_idx])
         sh_phase_ws[k, ocp.phase_idx[k] if tf_dim == 2 else 0] = 1.0
-
-    n_loc_c = coll_idx.shape[1]
-    n_loc_s = sh_idx.shape[1]
 
     # offsets of pieces inside the local vectors
     c_x0 = slice(0, nx)
@@ -145,7 +153,7 @@ def make_structured_derivs(ocp: OCP) -> Callable:
 
     def sh_eq_local(local, phase_w, theta0):
         mv = sh_model_vec(local, phase_w)
-        return model.eq_fn(mv, local[s_phi], theta0)[keep_rows]
+        return model.eq_fn(mv, local[s_phi], theta0)[jnp.asarray(keep_rows)]
 
     def sh_ineq_local(local, phase_w, theta0):
         mv = sh_model_vec(local, phase_w)
@@ -171,7 +179,7 @@ def make_structured_derivs(ocp: OCP) -> Callable:
     def coll_cost_local(local, c_row, sel_row, phase_w, iw, ref_vec, P, theta0):
         mv = coll_model_vec(local, c_row, sel_row, phase_w)
         diffsq = P['weights'] * (mv - ref_vec) ** 2
-        per_cat = cat_mask @ diffsq
+        per_cat = jnp.asarray(cat_mask) @ diffsq
         cost = 0.
         for i, cat in enumerate(REG_CATEGORIES):
             factor = tracking_factor(local[c_phi]) if cat == 'tracking' else 1.0
@@ -261,9 +269,9 @@ def make_structured_derivs(ocp: OCP) -> Callable:
                 triplets_cols.append([vs.x_slice(n_k).start + int(xi)])
             triplets_vals.append([-1.0])
 
-    lin_rows = jnp.asarray(np.concatenate(triplets_rows).astype(np.int32))
-    lin_cols = jnp.asarray(np.concatenate(triplets_cols).astype(np.int32))
-    lin_vals = jnp.asarray(np.concatenate(triplets_vals))
+    lin_rows = np.concatenate(triplets_rows).astype(np.int32)
+    lin_cols = np.concatenate(triplets_cols).astype(np.int32)
+    lin_vals = np.concatenate(triplets_vals)
 
     # t_f bound inequalities (linear in tf entries)
     ineq_lin = []
@@ -275,16 +283,56 @@ def make_structured_derivs(ocp: OCP) -> Callable:
             ineq_lin.append((tf_bounds_rows.start, int(col), wts[i]))
             ineq_lin.append((tf_bounds_rows.start + 1, int(col), -wts[i]))
 
-    # --- jitted assembly ----------------------------------------------------
-    coll_idx_j = jnp.asarray(coll_idx)
-    sh_idx_j = jnp.asarray(sh_idx)
-    c_rows_j = jnp.asarray(c_rows)
-    sel_rows_j = jnp.asarray(sel_rows)
-    phase_ws_j = jnp.asarray(phase_ws)
-    sh_phase_ws_j = jnp.asarray(sh_phase_ws)
-    int_ws_j = jnp.asarray(int_ws)
-    keep_rows_j = jnp.asarray(keep_rows)
+    # reference model-vec per coll node, from P (zero xdot)
+    def ref_nodes_from_P(P):
+        locs = P['ref'][jnp.asarray(coll_idx)]
 
+        def ref_vec(local, c_row, sel_row, phase_w):
+            theta_entries = local[c_th]
+            theta_model = model_theta_from_entries(theta_entries, phase_w)
+            x_stack = local[:nx * (d + 1)].reshape(d + 1, nx)
+            x_node = sel_row @ x_stack
+            return jnp.concatenate([x_node, jnp.zeros(nxd), local[c_u],
+                                    local[c_z], theta_model])
+        return jax.vmap(ref_vec)(locs, jnp.asarray(c_rows), jnp.asarray(sel_rows),
+                                 jnp.asarray(phase_ws))
+
+    return SimpleNamespace(
+        n=n, n_k=n_k, d=d, nx=nx, nu=nu, nxd=nxd, nz=nz,
+        ntheta_V=ntheta_V, nphi=nphi, n_eq_m=n_eq_m, n_ineq_m=n_ineq_m,
+        n_sh=n_sh, tf_dim=tf_dim, keep_rows=keep_rows,
+        coll_idx=coll_idx, sh_idx=sh_idx, theta_idx=theta_idx, phi_idx=phi_idx,
+        c_rows=c_rows, sel_rows=sel_rows, phase_ws=phase_ws, int_ws=int_ws,
+        sh_phase_ws=sh_phase_ws,
+        c_slices=dict(x0=c_x0, cx=c_cx, u=c_u, z=c_z, th=c_th, phi=c_phi),
+        s_slices=dict(x=s_x, xd=s_xd, u=s_u, z=s_z, th=s_th, phi=s_phi),
+        coll_eq_local=coll_eq_local, sh_eq_local=sh_eq_local,
+        sh_ineq_local=sh_ineq_local, coll_scalar=coll_scalar,
+        sh_scalar=sh_scalar, coll_cost_local=coll_cost_local,
+        global_cost=global_cost, glob_idx=glob_idx,
+        ref_nodes_from_P=ref_nodes_from_P,
+        lin_rows=lin_rows, lin_cols=lin_cols, lin_vals=lin_vals,
+        ineq_lin=ineq_lin, cont=np.asarray(cont), radau=radau,
+    )
+
+
+def make_structured_derivs(ocp: OCP) -> Callable:
+    """(w, y, lam, P) -> (fval, gradf, cE, cI, JE, JI, H) with dense outputs
+    assembled from vmapped per-node blocks."""
+    kit = make_local_kit(ocp)
+    n = kit.n
+    n_k, d = kit.n_k, kit.d
+    n_eq_m, n_sh, n_ineq_m = kit.n_eq_m, kit.n_sh, kit.n_ineq_m
+
+    coll_idx_j = jnp.asarray(kit.coll_idx)
+    sh_idx_j = jnp.asarray(kit.sh_idx)
+    c_rows_j = jnp.asarray(kit.c_rows)
+    sel_rows_j = jnp.asarray(kit.sel_rows)
+    phase_ws_j = jnp.asarray(kit.phase_ws)
+    sh_phase_ws_j = jnp.asarray(kit.sh_phase_ws)
+    int_ws_j = jnp.asarray(kit.int_ws)
+
+    eq_slices = ocp.eq_slices
     coll_rows0 = eq_slices['collocation'].start
     sh_rows0 = eq_slices['shooting'].start
     path_rows0 = ocp.ineq_slices['path'].start if n_ineq_m else 0
@@ -295,19 +343,10 @@ def make_structured_derivs(ocp: OCP) -> Callable:
     eq_fn = ocp.eq_fn
     ineq_fn = ocp.ineq_fn
 
-    # reference model-vec per coll node, from P (zero xdot)
-    def ref_nodes_from_P(P):
-        Vref = P['ref']
-        locs = Vref[coll_idx_j]
-        zero_tf_guard = locs  # xdot of ref is zero by construction below
-        def ref_vec(local, c_row, sel_row, phase_w):
-            x_stack = local[:nx * (d + 1)].reshape(d + 1, nx)
-            theta_entries = local[c_th]
-            theta_model = model_theta_from_entries(theta_entries, phase_w)
-            x_node = sel_row @ x_stack
-            return jnp.concatenate([x_node, jnp.zeros(nxd), local[c_u],
-                                    local[c_z], theta_model])
-        return jax.vmap(ref_vec)(locs, c_rows_j, sel_rows_j, phase_ws_j)
+    lin_rows = jnp.asarray(kit.lin_rows)
+    lin_cols = jnp.asarray(kit.lin_cols)
+    lin_vals = jnp.asarray(kit.lin_vals)
+    glob_idx = jnp.asarray(kit.glob_idx)
 
     @jax.jit
     def derivs(w, y, lam, P):
@@ -321,9 +360,9 @@ def make_structured_derivs(ocp: OCP) -> Callable:
         sh_locals = w[sh_idx_j]
 
         # --- Jacobians ---
-        J_coll = jax.vmap(jax.jacfwd(coll_eq_local), in_axes=(0, 0, 0, 0, None))(
+        J_coll = jax.vmap(jax.jacfwd(kit.coll_eq_local), in_axes=(0, 0, 0, 0, None))(
             coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
-        J_sh = jax.vmap(jax.jacfwd(sh_eq_local), in_axes=(0, 0, None))(
+        J_sh = jax.vmap(jax.jacfwd(kit.sh_eq_local), in_axes=(0, 0, None))(
             sh_locals, sh_phase_ws_j, theta0)
 
         JE = jnp.zeros((n_eq_total, n))
@@ -337,20 +376,20 @@ def make_structured_derivs(ocp: OCP) -> Callable:
 
         JI = jnp.zeros((n_ineq_total, n))
         if n_ineq_m:
-            J_path = jax.vmap(jax.jacfwd(sh_ineq_local), in_axes=(0, 0, None))(
+            J_path = jax.vmap(jax.jacfwd(kit.sh_ineq_local), in_axes=(0, 0, None))(
                 sh_locals, sh_phase_ws_j, theta0)
             rows_p = (path_rows0 + jnp.arange(n_k)[:, None] * n_ineq_m
                       + jnp.arange(n_ineq_m)[None, :])
             JI = JI.at[rows_p[:, :, None], sh_idx_j[:, None, :]].add(J_path)
-        for (r, c, v) in ineq_lin:
+        for (r, c, v) in kit.ineq_lin:
             JI = JI.at[r, c].add(v)
 
         # --- Hessian of the Lagrangian ---
         lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
         lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
-        ref_vecs = ref_nodes_from_P(P)
+        ref_vecs = kit.ref_nodes_from_P(P)
 
-        H_coll = jax.vmap(jax.hessian(coll_scalar),
+        H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
                           in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
             coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
             ref_vecs, lam_coll, P, theta0)
@@ -359,15 +398,15 @@ def make_structured_derivs(ocp: OCP) -> Callable:
                            ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
         else:
             lam_path = jnp.zeros((n_k, 0))
-        H_sh = jax.vmap(jax.hessian(sh_scalar), in_axes=(0, 0, 0, 0, None))(
+        H_sh = jax.vmap(jax.hessian(kit.sh_scalar), in_axes=(0, 0, 0, 0, None))(
             sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
 
         H = jnp.zeros((n, n))
         H = H.at[coll_idx_j[:, :, None], coll_idx_j[:, None, :]].add(H_coll)
         H = H.at[sh_idx_j[:, :, None], sh_idx_j[:, None, :]].add(H_sh)
 
-        H_glob = jax.hessian(global_cost)(w[jnp.asarray(glob_idx)], P)
-        H = H.at[jnp.asarray(glob_idx)[:, None], jnp.asarray(glob_idx)[None, :]].add(H_glob)
+        H_glob = jax.hessian(kit.global_cost)(w[glob_idx], P)
+        H = H.at[glob_idx[:, None], glob_idx[None, :]].add(H_glob)
 
         return fval, gradf, cE, cI, JE, JI, H
 

@@ -21,20 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
+def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  delta_c: float = 1e-8, tau: float = 0.99,
-                 kappa_mu: float = 0.8, mu_min: float = 1e-8):
+                 kappa_mu: float = 0.8, mu_min: float = 1e-8,
+                 n_ladder: int = 7, ladder_factor: float = 100.):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
     (including per-scenario theta0 for parameter sweeps). Returns the updated
-    state. No python control flow on traced values: the regularization is a
-    fixed small primal damping, the barrier decreases geometrically clipped at
-    the error level (adaptive-mu lite).
+    state. No python control flow on traced values: the primal regularization
+    runs an in-jit `lax.while_loop` ladder (mirror of the host ladder in
+    ipsolver.solve, the IPOPT inertia-correction analog) — if the condensed
+    Cholesky produces non-finite factors, delta_w is raised geometrically and
+    the factorization retried, so a failed factorization can never leak NaNs
+    into the iterates; the barrier decreases geometrically clipped at the
+    error level (adaptive-mu lite).
     """
     n = ocp.vstruct.total
     n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
-    f_fn, eq_fn, ineq_fn = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
 
     if derivs_fn is None:
         from ..ocp.structured import make_structured_derivs
@@ -45,12 +49,21 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
         zl, zu, mu = state['zl'], state['zu'], state['mu']
 
         fval, gradf, cE, cI, JE, JI, H = derivs_fn(w, y, lam, p)
+        # non-finite derivatives (iterate escaped the model's domain) must not
+        # poison the linear algebra: sanitize, the ladder then produces a
+        # heavily damped (near-gradient) step
+        gradf = jnp.where(jnp.isfinite(gradf), gradf, 0.)
+        cE = jnp.where(jnp.isfinite(cE), cE, 0.)
+        cI = jnp.where(jnp.isfinite(cI), cI, 0.)
+        JE = jnp.where(jnp.isfinite(JE), JE, 0.)
+        JI = jnp.where(jnp.isfinite(JI), JI, 0.)
+        H = jnp.where(jnp.isfinite(H), H, 0.)
 
         dl = jnp.maximum(w - lbw, 1e-20)
         du = jnp.maximum(ubw - w, 1e-20)
-        sigma = zl / dl + zu / du
-        W = H + jnp.diag(sigma) + delta_w * jnp.eye(n)
-        W = W * (free[:, None] * free[None, :]) + jnp.diag(1. - free)
+        sigma = jnp.clip(zl / dl + zu / du, 0., 1e16)
+        W0 = H + jnp.diag(sigma)
+        W0 = W0 * (free[:, None] * free[None, :]) + jnp.diag(1. - free)
 
         A = jnp.concatenate([JE, JI], axis=0) * free[None, :]
         lam_safe = jnp.maximum(lam, 1e-12)
@@ -66,19 +79,46 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
         r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
         As = A / jnp.sqrt(D)[:, None]
-        M = W + As.T @ As
-        LM = jnp.linalg.cholesky(M)
+        AtA = As.T @ As
+        eye_free = jnp.diag(free)
+
+        # in-jit regularization ladder: raise delta_w until chol succeeds
+        def chol_ok(delta):
+            LM = jnp.linalg.cholesky(W0 + delta * eye_free + AtA)
+            return LM, jnp.all(jnp.isfinite(LM))
+
+        def ladder_cond(carry):
+            k, delta, _, ok = carry
+            return jnp.logical_and(~ok, k < n_ladder)
+
+        def ladder_body(carry):
+            k, delta, _, _ = carry
+            delta = jnp.maximum(delta * ladder_factor, delta_w)
+            LM, ok = chol_ok(delta)
+            return k + 1, delta, LM, ok
+
+        LM0, ok0 = chol_ok(jnp.asarray(delta_w))
+        _, delta_used, LM, ok = jax.lax.while_loop(
+            ladder_cond, ladder_body,
+            (jnp.asarray(0), jnp.asarray(delta_w), LM0, ok0))
 
         def msolve(b):
             t = jax.scipy.linalg.solve_triangular(LM, b, lower=True)
             return jax.scipy.linalg.solve_triangular(LM.T, t, lower=False)
 
+        Wd = W0 + delta_used * eye_free
         rhs_w = r1 - A.T @ (r2 / D)
         dw = msolve(rhs_w)
         for _ in range(2):  # refinement against the 1/delta_ce conditioning
-            dw = dw + msolve(rhs_w - (W @ dw + As.T @ (As @ dw)))
+            dw = dw + msolve(rhs_w - (Wd @ dw + As.T @ (As @ dw)))
         dw = dw * free
         dnu = (A @ dw + r2) / D
+        # if even the maximally damped factorization failed, stand still
+        # rather than step on NaNs (recovery: mu stays, next iterate retries)
+        dw = jnp.where(ok, dw, 0.)
+        dnu = jnp.where(ok, dnu, 0.)
+        dw = jnp.where(jnp.isfinite(dw), dw, 0.)
+        dnu = jnp.where(jnp.isfinite(dnu), dnu, 0.)
         dy, dlam = dnu[:n_eq], dnu[n_eq:]
         ds = -(cI + s) - JI @ dw if n_ineq else s
         dzl = mu / dl - zl - zl * dw / dl
@@ -98,16 +138,27 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-6,
             alpha_z = jnp.minimum(alpha_z, ftb(lam_safe, dlam))
 
         w = w + alpha * dw
-        y = y + alpha * dy
+        y = jnp.clip(y + alpha * dy, -1e10, 1e10)
         if n_ineq:
-            lam = jnp.maximum(lam + alpha_z * dlam, 1e-16)
+            lam = jnp.clip(lam + alpha_z * dlam, 1e-16, 1e10)
             s = jnp.maximum(s + alpha * ds, 1e-16)
         zl = jnp.where(jnp.isfinite(lbw), zl + alpha_z * dzl, 0.)
         zu = jnp.where(jnp.isfinite(ubw), zu + alpha_z * dzu, 0.)
+        # IPOPT's kappa_sigma corridor keeps bound duals consistent with the
+        # barrier, preventing z blow-ups from poisoning sigma next iteration
+        dl = jnp.maximum(w - lbw, 1e-20)
+        du = jnp.maximum(ubw - w, 1e-20)
+        kappa_sigma = 1e10
+        zl = jnp.clip(zl, mu / (kappa_sigma * dl), kappa_sigma * mu / dl)
+        zu = jnp.clip(zu, mu / (kappa_sigma * du), kappa_sigma * mu / du)
+        zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
+        zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
 
         # adaptive-mu lite: contract toward the dual-infeasibility level
         err_d = jnp.max(jnp.abs(r1))
         mu = jnp.maximum(jnp.minimum(kappa_mu * mu, 0.1 * err_d), mu_min)
+        # ... but hold the barrier if the factorization failed outright
+        mu = jnp.where(ok, mu, state['mu'])
 
         return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
 

@@ -8,34 +8,68 @@ The north-star target (BASELINE.md) is >= 1000 batched scenario solves/s on a
 v5p host. A converged homotopy solve costs on the order of 150 IP iterations,
 so the equivalent iteration-throughput target is ~150k iter/s; vs_baseline
 reports measured batched iterations/s against that.
+
+Robustness contract: a JSON line is printed even if compilation exceeds the
+driver budget (SIGALRM fallback) — the fallback carries value 0 so a timeout
+is recorded as a measurement, not an rc=124.
 """
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+DEADLINE_S = int(os.environ.get('BENCH_DEADLINE_S', '1500'))
+_progress = {'stage': 'startup'}
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def _fallback(signum, frame):
+    _emit({
+        'metric': 'batched_scenario_ip_iter_per_s',
+        'value': 0.0,
+        'unit': f"iter/s (deadline {DEADLINE_S}s hit at stage: {_progress['stage']})",
+        'vs_baseline': 0.0,
+    })
+    os._exit(0)
+
 
 def main():
+    signal.signal(signal.SIGALRM, _fallback)
+    signal.alarm(DEADLINE_S)
+
     import jax
 
-    # prefer f64 for the solver core; fall back transparently if the backend
-    # rejects it
+    # Persistent compilation cache: the model's Lagrangian autodiff chains are
+    # expensive to compile (3rd/4th-order AD); repeat runs on this host reuse
+    # the compiled executables.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
     try:
-        jax.config.update('jax_enable_x64', True)
-        _ = (jax.numpy.zeros(1, dtype='float64') + 1.).block_until_ready()
-        dtype = 'float64'
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
-        jax.config.update('jax_enable_x64', False)
-        dtype = 'float32'
+        pass
+
+    # The fixed-iteration batched path is the TPU throughput path: f32 feeds
+    # the MXU natively (f64 on TPU is software-emulated and not viable for
+    # production throughput; the robust host-driven solver runs f64 on CPU).
+    accel = jax.devices()[0]
+    on_tpu = accel.platform != 'cpu'
+    if not on_tpu:
+        jax.config.update('jax_enable_x64', True)
+    dtype = 'float32' if on_tpu else 'float64'
 
     try:
         cpu = jax.devices('cpu')[0]
     except Exception:
-        cpu = jax.devices()[0]
-    accel = jax.devices()[0]
+        cpu = accel
 
-    sys.path.insert(0, '.')
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from awebox_tpu.api.trial import Trial
     from awebox_tpu.options.options import Options
     from awebox_tpu.options.kite_data import ampyx_ap2_settings
@@ -57,6 +91,7 @@ def main():
 
     # construction (structural scans, initial guesses) runs on host CPU; the
     # benchmark computation itself runs on the accelerator
+    _progress['stage'] = 'trial build'
     with jax.default_device(cpu):
         trial = Trial(options, 'bench').build()
         ocp = trial.ocp
@@ -69,19 +104,26 @@ def main():
         n_iter = 10
         rng = np.random.default_rng(0)
         batch = [V0 + 1e-3 * rng.normal(size=V0.shape) for _ in range(B)]
+        _progress['stage'] = 'batched state init'
         state = init_batched_state(ocp, batch, P, lb, ub)
 
-    state = jax.device_put(state, accel)
-    P = jax.device_put(P, accel)
+    def to_accel(x):
+        return jax.device_put(x, accel)
+
+    state = jax.tree_util.tree_map(to_accel, state)
+    P = jax.tree_util.tree_map(to_accel, P)
     solve = make_batched_solver(ocp, lb, ub, n_iter=n_iter)
 
     # compile + warm up
+    _progress['stage'] = 'XLA compile of batched solver'
     print('# compiling...', file=sys.stderr, flush=True)
     t_c = time.time()
     out = solve(state, P)
     jax.block_until_ready(out)
-    print(f'# compile {time.time() - t_c:.1f}s', file=sys.stderr, flush=True)
+    compile_s = time.time() - t_c
+    print(f'# compile {compile_s:.1f}s', file=sys.stderr, flush=True)
 
+    _progress['stage'] = 'timed iterations'
     t0 = time.time()
     reps = 3
     for _ in range(reps):
@@ -89,14 +131,17 @@ def main():
     jax.block_until_ready(out)
     elapsed = time.time() - t0
 
-    iters_per_s = B * n_iter * reps / elapsed
+    finite = bool(np.isfinite(np.asarray(out['w'])).all())
+    iters_per_s = B * n_iter * reps / elapsed if finite else 0.0
     target = 150_000.0
-    print(json.dumps({
+    signal.alarm(0)
+    _emit({
         'metric': 'batched_scenario_ip_iter_per_s',
         'value': round(float(iters_per_s), 2),
-        'unit': f'iter/s (B={B}, ampyx 3dof n_k=8, {dtype})',
+        'unit': f'iter/s (B={B}, ampyx 3dof n_k=8, {dtype}, '
+                f'compile {compile_s:.0f}s, finite={finite})',
         'vs_baseline': round(float(iters_per_s) / target, 5),
-    }))
+    })
 
 
 if __name__ == '__main__':

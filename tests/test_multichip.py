@@ -1,0 +1,61 @@
+"""Multi-device dryrun: the driver-level gate, run as a pytest on the
+8-device virtual CPU mesh (conftest sets xla_force_host_platform_device_count).
+
+Mirrors __graft_entry__.dryrun_multichip: batched interior-point steps sharded
+over a jax.sharding.Mesh must stay finite (SURVEY section 5.8).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+    n = len(jax.devices())
+    assert n >= 8, f'conftest should provide 8 virtual devices, got {n}'
+    g.dryrun_multichip(8)
+
+
+def test_ip_step_ladder_recovers_from_indefinite():
+    """The in-jit regularization ladder must produce finite iterates even
+    when the Hessian is indefinite / non-finite (the round-1 failure mode)."""
+    import jax.numpy as jnp
+    from awebox_tpu.parallel.batch import make_ip_step
+
+    class FakeVS:
+        total = 4
+
+    class FakeOCP:
+        vstruct = FakeVS()
+        n_eq = 1
+        n_ineq = 1
+
+    n = 4
+
+    def derivs(w, y, lam, p):
+        fval = jnp.sum(w ** 2)
+        gradf = 2 * w
+        cE = jnp.array([w[0] + w[1] - 1.])
+        cI = jnp.array([w[2] - 10.])
+        JE = jnp.array([[1., 1., 0., 0.]])
+        JI = jnp.array([[0., 0., 1., 0.]])
+        # strongly indefinite Hessian with a NaN: the ladder must sanitize
+        # and damp it rather than propagate NaNs
+        H = -100. * jnp.eye(n)
+        H = H.at[0, 0].set(jnp.nan)
+        return fval, gradf, cE, cI, JE, JI, H
+
+    step = make_ip_step(FakeOCP(), derivs_fn=derivs)
+    lbw = jnp.full((n,), -jnp.inf)
+    ubw = jnp.full((n,), jnp.inf)
+    free = jnp.ones(n)
+    state = dict(w=jnp.ones(n), s=jnp.ones(1), y=jnp.zeros(1),
+                 lam=jnp.ones(1), zl=jnp.zeros(n), zu=jnp.zeros(n),
+                 mu=jnp.asarray(1e-1))
+    for _ in range(3):
+        state = step(state, {}, lbw, ubw, free)
+    flat, _ = jax.tree_util.tree_flatten(state)
+    for leaf in flat:
+        assert bool(jnp.all(jnp.isfinite(leaf))), 'non-finite iterate leaked'
