@@ -83,21 +83,16 @@ def check_quality(trial, raise_exception=None) -> List[Tuple[str, bool, float, f
                       for n in range(1, arch.number_of_nodes))
     add('max_tension', tension_max < tp['max_tension'], tension_max, tp['max_tension'])
 
-    # loyd factor: avg power / total loyd limit
-    aero = outputs['aerodynamics']
-    power = go['avg_power_watts']
-    if power > 0:
-        p_loyd_avg = 0.
-        for kite in arch.kite_nodes:
-            CL = np.asarray(aero[f'CL{kite}'])
-            CD = np.maximum(np.asarray(aero[f'CD{kite}']), 1e-6)
-            rho = np.asarray(aero[f'air_density{kite}'])
-            # rough Loyd limit with the wind at the kite
-            s_ref = trial.options['processed']['geometry']['s_ref']
-            u = np.linalg.norm(np.asarray(aero[f'air_velocity{kite}']), axis=-1)
-        loyd_factor = 0.  # informational; detailed comparison in round 2
-        add('loyd_factor', loyd_factor < tp['max_loyd_factor'], loyd_factor,
-            tp['max_loyd_factor'])
+    # performance factors (quality_funcs via indicators.py:148-152): the
+    # instantaneous power over the total Loyd limit must stay physical, and
+    # the power-harvesting factor (zeta) over hub-height availability bounded
+    perf = outputs['performance']
+    loyd_factor = float(np.max(np.asarray(perf['loyd_factor'])))
+    add('loyd_factor', loyd_factor < tp['max_loyd_factor'], loyd_factor,
+        tp['max_loyd_factor'])
+    zeta = float(np.max(np.abs(np.asarray(perf['phf_hubheight']))))
+    add('power_harvesting_factor', zeta < tp['max_power_harvesting_factor'],
+        zeta, tp['max_power_harvesting_factor'])
 
     if raise_exception is None:
         raise_exception = qopts['raise_exception']

@@ -598,6 +598,44 @@ def make_model(options, arch: Architecture) -> Model:
 
         outputs['performance'] = {'p_current': power_fn(v, phi, theta0)}
 
+        # Loyd comparison + power-harvesting factors
+        # (indicators.py:125-152, 384-430; performance_operations.py:37-52)
+        from . import atmosphere
+        perf = outputs['performance']
+        q10 = si['x']['q10']
+        elevation = jnp.arctan2(q10[2], jnp.sqrt(q10[0] ** 2 + q10[1] ** 2 + 1e-16))
+        perf['elevation'] = elevation
+        s_ref = theta0['geometry']['s_ref']
+        current_power = power_fn(v, phi, theta0)
+        p_loyd_total = 0.
+        available_at_kites = 0.
+        cos_el3 = jnp.cos(elevation) ** 3.
+        for kite in kite_nodes:
+            label = arch.node_label(kite)
+            CL = aero_outputs['aerodynamics']['CL' + str(kite)]
+            CD = aero_outputs['aerodynamics']['CD' + str(kite)]
+            z_kite = si['x']['q' + label][2]
+            rho = atmosphere.get_density(cfg['atmosphere_model'],
+                                         theta0['atmosphere'], z_kite)
+            windspeed = wind.get_speed(cfg['wind_model'], theta0['wind'], z_kite)
+            power_density = 0.5 * rho * windspeed ** 3.
+            eps = 1.e-6
+            CR = CL * (1. + CD ** 2. / (CL ** 2. + eps ** 2.)) ** 0.5
+            phf_loyd = 4. / 27. * CR * (CR / (CD + 1e-12)) ** 2. * cos_el3
+            p_loyd = power_density * s_ref * phf_loyd
+            perf['p_loyd' + str(kite)] = p_loyd
+            perf['phf_loyd' + str(kite)] = phf_loyd
+            p_loyd_total = p_loyd_total + p_loyd
+            available_at_kites = available_at_kites + power_density * s_ref
+        perf['p_loyd_total'] = p_loyd_total
+        rho_hub = atmosphere.get_density(cfg['atmosphere_model'],
+                                         theta0['atmosphere'], q10[2])
+        u_hub = wind.get_speed(cfg['wind_model'], theta0['wind'], q10[2])
+        hub_avail = 0.5 * rho_hub * u_hub ** 3. * s_ref * len(kite_nodes)
+        perf['phf'] = current_power / jnp.maximum(available_at_kites, 1e-12)
+        perf['phf_hubheight'] = current_power / jnp.maximum(hub_avail, 1e-12)
+        perf['loyd_factor'] = current_power / jnp.sqrt(p_loyd_total ** 2. + 1e-8)
+
         if cfg['induction_lifted']:
             f_earth, _, _ = kite_aero.forces_and_outputs(cfg, si, theta0, arch)
             outputs['actuator'] = induction_mod.collect_outputs(

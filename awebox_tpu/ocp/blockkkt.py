@@ -211,16 +211,15 @@ def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
     own[0, off_g:] = 1.0
 
     # H_glob frame positions (inside the LAST frame): [e(x_{n_k}), t_f, psi]
+    from ..model.system import PHI_NAMES
     e_pos = layout.slices['x']['e'].start
     tf_sl_V = vs.theta_slice('t_f')
     th_off = vs.offsets['theta']
     glob_frame = np.concatenate([
         [off_bn + e_pos],
         off_g + g_th + (ar(tf_sl_V.start, tf_sl_V.stop) - th_off),
-        [off_g + g_phi + 4],   # psi is PHI_NAMES[4]
+        [off_g + g_phi + PHI_NAMES.index('psi')],
     ]).astype(np.int32)
-    from ..model.system import PHI_NAMES
-    glob_frame[-1] = off_g + g_phi + PHI_NAMES.index('psi')
 
     return SimpleNamespace(
         kit=kit, n_k=n_k, d=d, nx=nx, ni=ni, nb=nb, nloc=nloc,
@@ -318,7 +317,8 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
 
     kkt_solve(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
               delta_w, delta_c, delta_ce)
-        -> (dw, dy, dlam, ds, dzl, dzu, ok, delta_used)
+        -> (dw, dy, dlam, ds, dzl, dzu, ok, info)
+    with info = {'delta_used': ladder outcome, 'err_d': max |dual residual|}.
     """
     maps = build_block_maps(ocp)
     derivs_fn = make_block_derivs(ocp, maps)
@@ -342,6 +342,7 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
     glob_frame = jnp.asarray(maps.glob_frame)
 
     st = jax.scipy.linalg.solve_triangular
+    diag_idx = jnp.arange(nloc)
 
     def scatter_frame(Hc_k, Hs_k, ccols_k, scols_k):
         F = jnp.zeros((nloc, nloc))
@@ -357,6 +358,9 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         J_sh = blocks['J_sh']                      # (n_k, n_sh, loc_s)
         J_path = blocks['J_path']                  # (n_k, n_ineq_m, loc_s)
 
+        if J_path is None:
+            J_path = jnp.zeros((n_k, 0, sh_cols.shape[1]))
+
         def one(Jc_k, Js_k, Jp_k, ccols_k, scols_k, Ac_k, Ae_k):
             rows = []
             As = jnp.zeros((n_sh, nloc)).at[:, scols_k].add(Js_k)
@@ -371,14 +375,12 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             rows.append(Ae_k)
             return jnp.concatenate(rows, axis=0)
 
-        if n_ineq_m:
-            return jax.vmap(one)(J_coll_nodes, J_sh, J_path, coll_cols,
-                                 sh_cols, A_cont, A_extra)
-        return jax.vmap(lambda a, b, c, dd, e, f: one(a, b, None, c, dd, e, f))(
-            J_coll_nodes, J_sh, coll_cols, sh_cols, A_cont, A_extra)
+        return jax.vmap(one)(J_coll_nodes, J_sh, J_path, coll_cols,
+                             sh_cols, A_cont, A_extra)
 
-    def kkt_solve(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
-                  delta_w, delta_c, delta_ce):
+    def assemble(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                 delta_c, delta_ce):
+        """Frame matrices + constraint data; exposed for verification tests."""
         gradf, cE, cI = blocks['gradf'], blocks['cE'], blocks['cI']
         gradf = jnp.where(jnp.isfinite(gradf), gradf, 0.)
         cE = jnp.where(jnp.isfinite(cE), cE, 0.)
@@ -418,8 +420,6 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         Frame = Frame.at[:, diag_idx, diag_idx].add(own * (1. - free[frame_V]))
         Frame = Frame + jnp.einsum('kri,kr,krj->kij', A, 1. / D_k, A)
 
-        own_free = own * free[frame_V]      # delta_w goes on free owners only
-
         # --- rhs ------------------------------------------------------------
         # r1 = -(gradf + A^T nu - mu/dl + mu/du) * free, computed per interval
         # and scattered back (each constraint row lives in exactly one frame)
@@ -431,6 +431,18 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         Atr2D_frames = jnp.einsum('krj,kr->kj', A, r2_k / D_k)
         Atr2D = jnp.zeros(n).at[frame_V.reshape(-1)].add(Atr2D_frames.reshape(-1))
         rhs_w = r1 - Atr2D
+        return dict(Frame=Frame, A=A, D_k=D_k, r2_k=r2_k, rhs_w=rhs_w,
+                    r1=r1, dl=dl, du=du, cI=cI)
+
+    def kkt_solve(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                  delta_w, delta_c, delta_ce):
+        asm = assemble(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                       delta_c, delta_ce)
+        Frame, A = asm['Frame'], asm['A']
+        D_k, r2_k, rhs_w = asm['D_k'], asm['r2_k'], asm['rhs_w']
+        dl, du, cI = asm['dl'], asm['du'], asm['cI']
+
+        own_free = own * free[frame_V]      # delta_w goes on free owners only
 
         # --- two-level factorization with in-jit delta ladder ---------------
         def factor(delta):
@@ -566,12 +578,12 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             return out
 
         def matvec(v):
-            """M v via the frame pieces + the ladder damping."""
+            """M v via the frame pieces + the ladder damping (ownership of
+            each free variable sums to 1, so the damping is delta * free)."""
             v_frames = v[frame_V]
             y_frames = jnp.einsum('kij,kj->ki', Frame, v_frames)
             out = jnp.zeros(n).at[frame_V.reshape(-1)].add(y_frames.reshape(-1))
-            return out + delta_used * (own_free[0] * 0. + 0.) \
-                + delta_used * free * v   # ownership sums to 1 per free var
+            return out + delta_used * free * v
 
         dw = block_solve(rhs_w)
         for _ in range(n_refine):
@@ -589,17 +601,22 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         dy = dnu[:n_eq]
         dlam = dnu[n_eq:]
 
-        ds = -(cI + s) - (jnp.zeros(n_ineq) if n_ineq == 0 else _JI_dw(blocks, dw)) \
-            if n_ineq else jnp.zeros(0)
+        if n_ineq:
+            ds = -(cI + s) - _JI_dw(blocks, dw)
+        else:
+            ds = jnp.zeros(0)
         dzl = mu / dl - zl - zl * dw / dl
         dzu = mu / du - zu + zu * dw / du
-        return dw, dy, dlam, ds, dzl, dzu, fac['ok'], delta_used
+        info = dict(delta_used=delta_used, err_d=jnp.max(jnp.abs(asm['r1'])))
+        return dw, dy, dlam, ds, dzl, dzu, fac['ok'], info
+
+    sh_idx_j = jnp.asarray(maps.kit.sh_idx)
 
     def _JI_dw(blocks, dw):
         """JI @ dw without materializing JI: path rows + t_f rows."""
         parts = jnp.zeros(n_ineq)
         if n_ineq_m:
-            dw_sh = dw[jnp.asarray(maps.kit.sh_idx)]
+            dw_sh = dw[sh_idx_j]
             Jp = jnp.where(jnp.isfinite(blocks['J_path']), blocks['J_path'], 0.)
             vals = jnp.einsum('krj,kj->kr', Jp, dw_sh)
             parts = parts.at[ocp.ineq_slices['path'].start:
@@ -608,4 +625,5 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             parts = parts.at[r].add(v * dw[c])
         return parts
 
+    maps.assemble = assemble
     return derivs_fn, kkt_solve, maps

@@ -228,25 +228,34 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
 
     lb, ub = set_initial_bounds(ocp, lb_nominal, ub_nominal, V_init, schedule)
 
-    if use_structured is None:
-        # structured per-node derivatives amortize for larger horizons; the
-        # dense path compiles faster on tiny test problems. The vortex wake
-        # couples nodes through the shedding history, which breaks the
-        # per-node block structure — always use the dense autodiff path there.
-        use_structured = ocp.vstruct.total >= 1200 \
-            and ocp.model.cfg.get('induction_model') != 'vortex'
+    # linear-solver selection (the MA57-role choice): the block-structured
+    # factorization is O(n_k) per iteration and the production path; the
+    # dense autodiff path compiles faster on tiny test problems. The vortex
+    # wake couples nodes through the shedding history, which breaks the
+    # per-interval block structure — always dense there.
+    choice = sol_opts.get('linear_solver', 'auto')
+    vortex = ocp.model.cfg.get('induction_model') == 'vortex'
+    if use_structured is not None:      # legacy knob from round 1
+        choice = 'block' if use_structured else 'dense'
+    if choice == 'auto':
+        choice = 'dense' if (vortex or ocp.vstruct.total < 1200) else 'block'
+    if vortex and choice == 'block':
+        raise ValueError("linear_solver='block' is incompatible with the "
+                         "vortex induction model (wake history couples "
+                         "intervals); use 'dense'")
 
     if solver_cache is not None and 'solver' in solver_cache:
         solver = solver_cache['solver']
     else:
-        derivs_fn = None
-        if use_structured:
-            from ..ocp.structured import make_structured_derivs
-            derivs_fn = make_structured_derivs(ocp)
+        block_kkt = None
+        if choice == 'block':
+            from ..ocp.blockkkt import make_block_kkt
+            bd, bs, _maps = make_block_kkt(ocp)
+            block_kkt = (bd, bs)
         solver = InteriorPointSolver(
             ocp.f_fn, ocp.eq_fn, ocp.ineq_fn,
             n=ocp.vstruct.total, n_eq=ocp.n_eq, n_ineq=ocp.n_ineq,
-            options=IPOptions(), derivs_fn=derivs_fn)
+            options=IPOptions(), block_kkt=block_kkt)
         if solver_cache is not None:
             solver_cache['solver'] = solver
 

@@ -80,7 +80,7 @@ class InteriorPointSolver:
     """
 
     def __init__(self, f, eq, ineq, n, n_eq, n_ineq, options: IPOptions = None,
-                 derivs_fn=None):
+                 derivs_fn=None, block_kkt=None):
         self.f = f
         self.eq = eq
         self.ineq = ineq
@@ -93,6 +93,15 @@ class InteriorPointSolver:
             # structure-exploiting override: (w, y, lam, p) ->
             # (fval, gradf, cE, cI, JE, JI, H)
             self._derivs = derivs_fn
+        # block-structured KKT path (ocp/blockkkt.make_block_kkt): a
+        # (derivs_fn, kkt_solve) pair; the solve loop then never materializes
+        # dense jacobians/hessians and the direction comes from the O(n_k)
+        # factorization with its own in-jit regularization ladder
+        self._block = block_kkt
+        if block_kkt is not None:
+            bd, bs = block_kkt
+            self._block_derivs = jax.jit(bd)
+            self._block_solve = jax.jit(bs)
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -329,12 +338,21 @@ class InteriorPointSolver:
         it = 0
 
         for it in range(1, o.max_iter + 1):
-            fval, gradf, cE, cI, JE, JI, H = self._derivs(w, y, lam, p)
+            if self._block is not None:
+                blocks = self._block_derivs(w, y, lam, p)
+                fval, gradf = blocks['fval'], blocks['gradf']
+                cE, cI = blocks['cE'], blocks['cI']
+            else:
+                fval, gradf, cE, cI, JE, JI, H = self._derivs(w, y, lam, p)
             if not np.isfinite(float(fval)):
                 status = 'nan_objective'
                 break
-            if not (bool(jnp.all(jnp.isfinite(H))) and bool(jnp.all(jnp.isfinite(JE)))
-                    and bool(jnp.all(jnp.isfinite(JI))) and bool(jnp.all(jnp.isfinite(gradf)))):
+            if self._block is not None:
+                if not bool(jnp.all(jnp.isfinite(gradf))):
+                    status = 'nan_derivatives'
+                    break
+            elif not (bool(jnp.all(jnp.isfinite(H))) and bool(jnp.all(jnp.isfinite(JE)))
+                      and bool(jnp.all(jnp.isfinite(JI))) and bool(jnp.all(jnp.isfinite(gradf)))):
                 status = 'nan_derivatives'
                 break
 
@@ -387,48 +405,72 @@ class InteriorPointSolver:
             # KKT solve with primal regularization ladder
             delta_w = 0.0
             ladder_hist = []
-            for trial in range(12):
-                delta_ce = 0.0 if trial == 0 else o.delta_c * max(mu, 1e-6) ** 0.25
-                dw, dy, dlam, ds, dzl, dzu, ok, kdiag = self._kkt_solve(
-                    gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
-                    lbw, ubw, free, mu, delta_w, o.delta_c, delta_ce)
+            if self._block is not None:
+                # the block path self-escalates in-jit; start from the decayed
+                # last delta and let its internal ladder do the work
+                delta_w = max(delta_w_last / 3., 0.0)
+                delta_ce = o.delta_c * max(mu, 1e-6) ** 0.25
+                dw, dy, dlam, ds, dzl, dzu, ok_j, info = self._block_solve(
+                    blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                    delta_w, o.delta_c, delta_ce)
+                ok = bool(ok_j)
+                delta_w = float(info['delta_used'])
                 dir_finite = np.all(np.isfinite(np.asarray(dw))) \
                     and np.all(np.isfinite(np.asarray(dy))) \
                     and np.all(np.isfinite(np.asarray(dlam)))
-                ladder_hist.append((delta_w, bool(ok), bool(dir_finite)))
-                if bool(ok) and dir_finite:
-                    break
-                if delta_w == 0.0:
-                    delta_w = min(max(o.delta_w_init, delta_w_last / 3.), 1e4)
-                else:
-                    delta_w *= 100. if delta_w_last == 0 else 8.
-                if delta_w > o.delta_w_max:
+                kdiag = (0., True, 0., 0.)
+                if not (ok and dir_finite):
+                    status = 'regularization_failed'
+                    if o.verbose:
+                        print(f'  [block ladder exhausted] ok={ok} '
+                              f'delta={delta_w:.1e}')
                     break
             else:
-                status = 'regularization_failed'
-                if o.verbose:
-                    print(f'  [ladder exhausted] ok={bool(ok)} '
-                          f'|dw|={float(jnp.max(jnp.abs(dw))):.2e} '
-                          f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
-                          f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
-                          f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
-                          f'min_s={float(jnp.min(s, initial=1.)):.2e}')
-                break
-            if delta_w > o.delta_w_max:
-                status = 'regularization_failed'
-                if o.verbose:
-                    print(f'  [ladder overflow] ok={bool(ok)} '
-                          f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
-                          f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
-                          f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
-                          f'|M|={float(kdiag[0]):.2e} Mfin={bool(kdiag[1])} '
-                          f'|A|={float(kdiag[2]):.2e} sig={float(kdiag[3]):.2e}')
-                    print('  ladder history:', [(f'{d:.1e}', o2, f2) for (d, o2, f2) in ladder_hist])
-                    Habs = np.abs(np.asarray(H))
-                    im = np.unravel_index(np.argmax(Habs), Habs.shape)
-                    print(f'  H argmax at {im}; top rows:',
-                          np.argsort(-Habs.max(axis=1))[:6].tolist())
-                break
+                ladder_failed = False
+                for trial in range(12):
+                    delta_ce = 0.0 if trial == 0 else o.delta_c * max(mu, 1e-6) ** 0.25
+                    dw, dy, dlam, ds, dzl, dzu, ok, kdiag = self._kkt_solve(
+                        gradf, cE, cI, JE, JI, H, w, s, y, lam, zl, zu,
+                        lbw, ubw, free, mu, delta_w, o.delta_c, delta_ce)
+                    dir_finite = np.all(np.isfinite(np.asarray(dw))) \
+                        and np.all(np.isfinite(np.asarray(dy))) \
+                        and np.all(np.isfinite(np.asarray(dlam)))
+                    ladder_hist.append((delta_w, bool(ok), bool(dir_finite)))
+                    if bool(ok) and dir_finite:
+                        break
+                    if delta_w == 0.0:
+                        delta_w = min(max(o.delta_w_init, delta_w_last / 3.), 1e4)
+                    else:
+                        delta_w *= 100. if delta_w_last == 0 else 8.
+                    if delta_w > o.delta_w_max:
+                        break
+                else:
+                    ladder_failed = True
+                if ladder_failed:
+                    status = 'regularization_failed'
+                    if o.verbose:
+                        print(f'  [ladder exhausted] ok={bool(ok)} '
+                              f'|dw|={float(jnp.max(jnp.abs(dw))):.2e} '
+                              f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
+                              f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
+                              f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
+                              f'min_s={float(jnp.min(s, initial=1.)):.2e}')
+                    break
+                if delta_w > o.delta_w_max:
+                    status = 'regularization_failed'
+                    if o.verbose:
+                        print(f'  [ladder overflow] ok={bool(ok)} '
+                              f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
+                              f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
+                              f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
+                              f'|M|={float(kdiag[0]):.2e} Mfin={bool(kdiag[1])} '
+                              f'|A|={float(kdiag[2]):.2e} sig={float(kdiag[3]):.2e}')
+                        print('  ladder history:', [(f'{d:.1e}', o2, f2) for (d, o2, f2) in ladder_hist])
+                        Habs = np.abs(np.asarray(H))
+                        im = np.unravel_index(np.argmax(Habs), Habs.shape)
+                        print(f'  H argmax at {im}; top rows:',
+                              np.argsort(-Habs.max(axis=1))[:6].tolist())
+                    break
             if delta_w > 0:
                 delta_w_last = min(delta_w, o.delta_w_max)
             else:

@@ -175,6 +175,10 @@ def default_options_tree():
 
     solver = {
         'max_iter': 2000,
+        # 'auto' picks the block-structured KKT factorization for large
+        # horizons and the dense path for tiny ones / vortex; 'block'/'dense'
+        # force one (the MA57-role choice, reference opts/default.py:322)
+        'linear_solver': 'auto',
         'mu_target': 0.,
         'mu_init': 1.,
         'tol': 1e-8,

@@ -24,7 +24,8 @@ import numpy as np
 def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  delta_c: float = 1e-8, tau: float = 0.99,
                  kappa_mu: float = 0.8, mu_min: float = 1e-8,
-                 n_ladder: int = 7, ladder_factor: float = 100.):
+                 n_ladder: int = 7, ladder_factor: float = 100.,
+                 kkt: str = 'auto'):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -36,9 +37,24 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
     the factorization retried, so a failed factorization can never leak NaNs
     into the iterates; the barrier decreases geometrically clipped at the
     error level (adaptive-mu lite).
+
+    kkt = 'block' uses the block-structured factorization (ocp/blockkkt.py,
+    O(n_k) per iteration); 'dense' materializes the full condensed system;
+    'auto' picks block whenever the problem supports it (not vortex).
     """
     n = ocp.vstruct.total
     n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
+
+    if kkt == 'auto':
+        if derivs_fn is not None or not hasattr(ocp, 'model'):
+            kkt = 'dense'
+        else:
+            vortex = ocp.model.cfg.get('induction_model') == 'vortex'
+            kkt = 'dense' if vortex else 'block'
+
+    if kkt == 'block':
+        return _make_block_ip_step(ocp, delta_w=delta_w, delta_c=delta_c,
+                                   tau=tau, kappa_mu=kappa_mu, mu_min=mu_min)
 
     if derivs_fn is None:
         from ..ocp.structured import make_structured_derivs
@@ -124,43 +140,83 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         dzl = mu / dl - zl - zl * dw / dl
         dzu = mu / du - zu + zu * dw / du
 
-        def ftb(val, dval):
-            neg = dval < 0
-            ratios = jnp.where(neg, -tau * val / jnp.where(neg, dval, -1.), jnp.inf)
-            return jnp.minimum(jnp.min(ratios, initial=1.0), 1.0)
-
-        alpha = jnp.minimum(ftb(dl, dw), ftb(du, -dw))
-        if n_ineq:
-            alpha = jnp.minimum(alpha, ftb(s, ds))
-        alpha_z = jnp.minimum(ftb(jnp.maximum(zl, 1e-300), dzl),
-                              ftb(jnp.maximum(zu, 1e-300), dzu))
-        if n_ineq:
-            alpha_z = jnp.minimum(alpha_z, ftb(lam_safe, dlam))
-
-        w = w + alpha * dw
-        y = jnp.clip(y + alpha * dy, -1e10, 1e10)
-        if n_ineq:
-            lam = jnp.clip(lam + alpha_z * dlam, 1e-16, 1e10)
-            s = jnp.maximum(s + alpha * ds, 1e-16)
-        zl = jnp.where(jnp.isfinite(lbw), zl + alpha_z * dzl, 0.)
-        zu = jnp.where(jnp.isfinite(ubw), zu + alpha_z * dzu, 0.)
-        # IPOPT's kappa_sigma corridor keeps bound duals consistent with the
-        # barrier, preventing z blow-ups from poisoning sigma next iteration
-        dl = jnp.maximum(w - lbw, 1e-20)
-        du = jnp.maximum(ubw - w, 1e-20)
-        kappa_sigma = 1e10
-        zl = jnp.clip(zl, mu / (kappa_sigma * dl), kappa_sigma * mu / dl)
-        zu = jnp.clip(zu, mu / (kappa_sigma * du), kappa_sigma * mu / du)
-        zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
-        zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
-
-        # adaptive-mu lite: contract toward the dual-infeasibility level
         err_d = jnp.max(jnp.abs(r1))
-        mu = jnp.maximum(jnp.minimum(kappa_mu * mu, 0.1 * err_d), mu_min)
-        # ... but hold the barrier if the factorization failed outright
-        mu = jnp.where(ok, mu, state['mu'])
+        return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok, err_d,
+                              lbw, ubw, n_ineq, tau, kappa_mu, mu_min)
 
-        return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+    return step
+
+
+def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
+                   tau, kappa_mu, mu_min):
+    """Fraction-to-boundary step + dual safeguards + adaptive-mu, shared by
+    the dense and block KKT paths."""
+    w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
+    zl, zu, mu = state['zl'], state['zu'], state['mu']
+    dw, dy, dlam, ds, dzl, dzu = direction
+    lam_safe = jnp.maximum(lam, 1e-12)
+    dl = jnp.maximum(w - lbw, 1e-20)
+    du = jnp.maximum(ubw - w, 1e-20)
+
+    def ftb(val, dval):
+        neg = dval < 0
+        ratios = jnp.where(neg, -tau * val / jnp.where(neg, dval, -1.), jnp.inf)
+        return jnp.minimum(jnp.min(ratios, initial=1.0), 1.0)
+
+    alpha = jnp.minimum(ftb(dl, dw), ftb(du, -dw))
+    if n_ineq:
+        alpha = jnp.minimum(alpha, ftb(s, ds))
+    alpha_z = jnp.minimum(ftb(jnp.maximum(zl, 1e-300), dzl),
+                          ftb(jnp.maximum(zu, 1e-300), dzu))
+    if n_ineq:
+        alpha_z = jnp.minimum(alpha_z, ftb(lam_safe, dlam))
+
+    w = w + alpha * dw
+    y = jnp.clip(y + alpha * dy, -1e10, 1e10)
+    if n_ineq:
+        lam = jnp.clip(lam + alpha_z * dlam, 1e-16, 1e10)
+        s = jnp.maximum(s + alpha * ds, 1e-16)
+    zl = jnp.where(jnp.isfinite(lbw), zl + alpha_z * dzl, 0.)
+    zu = jnp.where(jnp.isfinite(ubw), zu + alpha_z * dzu, 0.)
+    # IPOPT's kappa_sigma corridor keeps bound duals consistent with the
+    # barrier, preventing z blow-ups from poisoning sigma next iteration
+    dl = jnp.maximum(w - lbw, 1e-20)
+    du = jnp.maximum(ubw - w, 1e-20)
+    kappa_sigma = 1e10
+    zl = jnp.clip(zl, mu / (kappa_sigma * dl), kappa_sigma * mu / dl)
+    zu = jnp.clip(zu, mu / (kappa_sigma * du), kappa_sigma * mu / du)
+    zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
+    zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
+
+    # adaptive-mu lite: contract toward the dual-infeasibility level,
+    # holding the barrier if the factorization failed outright
+    mu = jnp.maximum(jnp.minimum(kappa_mu * mu, 0.1 * err_d), mu_min)
+    mu = jnp.where(ok, mu, state['mu'])
+
+    return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+
+
+def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
+                        kappa_mu=0.8, mu_min=1e-8):
+    """Interior-point iteration whose direction comes from the block-structured
+    KKT factorization (ocp/blockkkt.py) — O(n_k) per-iteration complexity and
+    no dense (n x n) intermediates, so it scales to paper-benchmark horizons
+    (n_k=100, d=4) and stays vmappable over the scenario batch."""
+    from ..ocp.blockkkt import make_block_kkt
+    derivs_fn, kkt_solve, maps = make_block_kkt(ocp)
+    n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
+
+    def step(state, p, lbw, ubw, free):
+        w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
+        zl, zu, mu = state['zl'], state['zu'], state['mu']
+        blocks = derivs_fn(w, y, lam, p)
+        delta_ce = delta_c
+        dw, dy, dlam, ds, dzl, dzu, ok, info = kkt_solve(
+            blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+            delta_w, delta_c, delta_ce)
+        return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
+                              info['err_d'], lbw, ubw, n_ineq, tau,
+                              kappa_mu, mu_min)
 
     return step
 

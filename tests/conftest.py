@@ -16,3 +16,13 @@ import jax  # noqa: E402
 # the axon site hook overrides JAX_PLATFORMS at import; force local CPU here
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# persistent compilation cache: the model's nested-AD graphs dominate test
+# runtime; repeat runs of the suite reuse compiled executables
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          '.jax_cache')
+try:
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+    pass
