@@ -27,11 +27,14 @@ def interpolate_solution(trial, n_points: int = 100) -> Dict:
     T = t_x[-1]
     t_ip = np.linspace(0., T, n_points)
 
+    poly_u = (vs.u_param == 'poly')
     X = np.asarray(vs.get_x_all(V))
-    U = np.asarray(vs.get_u_all(V))
     CX = np.asarray(vs.get_coll_x(V))
     CZ = np.asarray(vs.get_coll_z(V))
-    Z = np.asarray(vs.get_z_all(V))
+    if poly_u:
+        CU = np.asarray(vs.get_coll_u(V))
+    else:
+        U = np.asarray(vs.get_u_all(V))
 
     x_ip = np.zeros((n_points, vs.nx))
     z_ip = np.zeros((n_points, vs.nz))
@@ -50,7 +53,7 @@ def interpolate_solution(trial, n_points: int = 100) -> Dict:
         x_ip[i] = lx @ stack
         xdot_ip[i] = (dlx @ stack) / (tf_k[k] / n_k)
         z_ip[i] = lu @ CZ[k]
-        u_ip[i] = U[k]
+        u_ip[i] = (lu @ CU[k]) if poly_u else U[k]
 
     scaling = model.scaling
     plot_dict = {

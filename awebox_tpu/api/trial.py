@@ -55,13 +55,44 @@ class Trial:
         self.V_init = V_init
         self.V_ref = V_ref
         if warmstart is not None:
-            V_init = np.asarray(warmstart)
+            if isinstance(warmstart, str):
+                # warmstart from a saved solution file, remapping the stored
+                # grid onto this trial's (n_k, d) discretization
+                # (struct_operations.py:992; optimization.py:463-512)
+                import pickle
+                from . import warmstart as ws
+                with open(warmstart, 'rb') as fh:
+                    payload = pickle.load(fh)
+                V_init = ws.remap_to_v(payload['remap'], self.ocp)
+            elif isinstance(warmstart, Trial):
+                from . import warmstart as ws
+                V_init = ws.remap_to_v(ws.solution_payload(warmstart), self.ocp)
+            else:
+                V_init = np.asarray(warmstart)
         self.solution = homotopy_mod.solve_homotopy(
             self.ocp, V_init, V_ref, self.lb_nominal, self.ub_nominal,
             final_homotopy_step=final_homotopy_step,
             solver_cache=self._solver_cache, verbose=verbose)
         self.timings['optimize'] = time.time() - t0
+
+        # post-solve KKT health gate (reference opti/optimization.py:372-374)
+        hc_opts = self.options['solver']['health_check']
+        if hc_opts['when'] in ('final', 'success'):
+            report = self.health_check()
+            if verbose:
+                print('[health]\n' + report.summary())
+            if hc_opts['raise_exception'] and not report.healthy:
+                raise RuntimeError('KKT health check failed:\n' + report.summary())
         return self
+
+    def health_check(self, **kwargs):
+        """KKT health analysis of the solved NLP: LICQ rank, reduced-Hessian
+        SOSC, conditioning (tools/debug_operations.py:53-152 analog)."""
+        from ..opti.diagnostics import trial_health_check
+        thresh = self.options['solver']['health_check']['thresh']
+        kwargs.setdefault('cond_threshold', thresh['condition_number'])
+        kwargs.setdefault('sosc_tol', -thresh['reduced_hessian_eig'])
+        return trial_health_check(self, **kwargs)
 
     # ------------------------------------------------------------------
     @property
@@ -69,14 +100,12 @@ class Trial:
         return self.solution is not None and self.solution.success
 
     def global_outputs(self) -> Dict[str, float]:
-        """time period, final energy, average power (ocp_outputs.py:42-115)."""
+        """time period, final energy, average power (ocp_outputs.py:42-115);
+        energy comes from the e state or, under integral_outputs=True, from
+        the collocation quadrature of the power output."""
         V = self.solution.V_opt
-        vs = self.ocp.vstruct
-        layout = self.model.layout
         T = float(self.ocp.time_period_fn(V))
-        e_sl = layout.slices['x']['e']
-        e_scale = self.model.scaling['x'][e_sl][0]
-        e_end = float(vs.get_x_all(V)[self.ocp.n_k][e_sl][0]) * e_scale
+        e_end = float(self.ocp.e_final_si_fn(V, self.solution.P))
         return {'time_period': T,
                 'e_final_joules': e_end,
                 'avg_power_watts': e_end / T}
@@ -132,18 +161,48 @@ class Trial:
 
     # ------------------------------------------------------------------
     def save(self, filename):
-        """Pickle the reloadable solution seed (trial.py:284-322 analog)."""
+        """Pickle the reloadable solution seed (trial.py:284-322 analog):
+        the full options tree, the optimal V, the remap payload for
+        dimension-changing warmstarts, and the final solver state."""
         import pickle
+        from . import warmstart as ws
+        st = self.solution.final_state or {}
         payload = {
             'name': self.name,
-            'options_dict': None,  # raw options are not always picklable
+            'options_tree': self.options_raw.as_dict(),
             'V_opt': np.asarray(self.solution.V_opt),
             'V_init': np.asarray(self.V_init),
             'stats': self.solution.stats,
             'success': self.solution.success,
             'global_outputs': self.global_outputs(),
             'theta_opt': self.theta_opt(),
+            'remap': ws.solution_payload(self),
+            'duals': {k: np.asarray(st[k]) for k in st},
         }
         with open(filename, 'wb') as fh:
             pickle.dump(payload, fh)
         return filename
+
+    @classmethod
+    def load(cls, filename, name=None, rebuild=True):
+        """Reload a pickled solution into a Trial (reference trial.py:62-92:
+        seed = saved dict -> visualization-capable trial). With
+        rebuild=True the model/OCP are reconstructed from the stored options
+        tree, so plotting/CSV/quality all work on the reloaded solution."""
+        import pickle
+        with open(filename, 'rb') as fh:
+            payload = pickle.load(fh)
+        options = Options.from_tree(payload['options_tree'])
+        trial = cls(options, name or payload.get('name', 'reloaded'))
+        trial._loaded_payload = payload
+        if rebuild:
+            trial.build()
+            trial.V_init = payload['V_init']
+            trial.solution = homotopy_mod.HomotopySolution(
+                V_opt=payload['V_opt'], P=None, stats=payload['stats'],
+                success=payload['success'], step_results={},
+                final_state=payload.get('duals'))
+            # P is needed by outputs/cost evaluators; rebuild from V_init
+            V_ref = build_reference(trial.ocp, np.asarray(payload['V_init']))
+            trial.solution.P = homotopy_mod.build_p_fix(trial.ocp, V_ref)
+        return trial

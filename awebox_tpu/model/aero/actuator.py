@@ -46,11 +46,10 @@ def layer_support(cfg, si, theta0, arch, layer):
     kites = arch.kites_map[layer]
     b_ref = theta0['geometry']['b_ref']
 
-    # averaged-geometry center (geometry_dir/averaged_geometry.py)
-    qs = jnp.stack([si['x']['q' + arch.node_label(k)] for k in kites])
-    dqs = jnp.stack([si['x']['dq' + arch.node_label(k)] for k in kites])
-    center = jnp.mean(qs, axis=0)
-    dcenter = jnp.mean(dqs, axis=0)
+    # orbit-geometry center per the selected model (geometry_dir/geometry.py)
+    from . import geometry as geometry_mod
+    center, dcenter = geometry_mod.center_and_velocity(
+        cfg.get('act_geometry_model', 'averaged'), si, arch, layer)
 
     # normal vector (default tether_parallel, opts/default.py:123)
     nv_model = cfg['act_normal_vector_model']

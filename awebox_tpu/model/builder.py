@@ -44,6 +44,7 @@ class Model:
     split: Callable = None
     to_si: Callable = None
     scale_full: np.ndarray = None
+    avg_induction_fn: Callable = None  # (v, phi, theta0) -> (F_sum, WdA_sum)
 
     @property
     def n_eq(self):
@@ -94,6 +95,18 @@ def build_theta0(options) -> dict:
         },
         'kappa_r': np.asarray(params['kappa_r'], dtype=float),
     }
+
+    # measured wind profile: fit the penalized polynomial at build time
+    # (mdl/wind.py:107-173 + tools/lagr_interpol.py)
+    if options['user_options']['wind']['model'] == 'datafile':
+        datafile = params['wind'].get('datafile')
+        if not datafile:
+            raise ValueError("wind model 'datafile' needs params.wind.datafile"
+                             " = {'heights': [...], 'u_x': [...], 'u_y': [...]}")
+        from . import wind as wind_mod
+        theta0['wind'].update(wind_mod.fit_datafile_profile(
+            datafile['heights'], datafile['u_x'],
+            datafile.get('u_y', np.zeros(len(datafile['heights'])))))
     return theta0
 
 
@@ -119,6 +132,8 @@ def _build_cfg(options, arch) -> dict:
         'atmosphere_model': user['atmosphere'],
         'tether_drag_model': user['tether_drag_model'],
         'tether_aero_elements': int(options['model']['tether']['aero_elements']),
+        'tether_cd_model': options['model']['tether']['cd_model'],
+        'tether_reynolds_smoothing': float(options['model']['tether']['reynolds_smoothing']),
         'force_frame': stab['frame']['force'],
         'moment_frame': stab['frame']['moment'],
         'stab_derivs_structure': stab_structure,
@@ -155,6 +170,7 @@ def _build_cfg(options, arch) -> dict:
     cfg['act_a_ref'] = float(act['a_ref'])
     cfg['act_asym_radial_linearity'] = bool(act['asym_radial_linearity'])
     cfg['act_force_zero'] = bool(options['model']['aero']['induction']['force_zero'])
+    cfg['act_geometry_model'] = options['model']['aero']['geometry']['model']
     vor = options['model']['aero']['vortex']
     cfg['vortex_wake_nodes'] = int(vor['wake_nodes'])
     cfg['vortex_core_to_chord_ratio'] = float(vor['core_to_chord_ratio'])
@@ -696,11 +712,33 @@ def make_model(options, arch: Architecture) -> Model:
         pb['P_potential'] = -time_derivative(e_pot_total)(v)
         return outputs
 
+    def avg_induction_integrands(v, phi, theta0):
+        """Integrands of the trajectory-averaged induction model
+        (induction_dir/averaged.py:39-58): summed kite tether forces and
+        WdA = sum_kites 0.5 b_ref |dq| rho(z) u_inf(z)^2."""
+        from . import atmosphere
+        si = to_si(v)
+        b_ref = theta0['geometry']['b_ref']
+        F_sum = 0.
+        WdA = 0.
+        for kite in kite_nodes:
+            label = arch.node_label(kite)
+            tension, _ = tension_and_stress(si, theta0, kite)
+            F_sum = F_sum + tension
+            q = si['x']['q' + label]
+            dq = si['x']['dq' + label]
+            rho = atmosphere.get_density(cfg['atmosphere_model'],
+                                         theta0['atmosphere'], q[2])
+            u_inf = wind.get_speed(cfg['wind_model'], theta0['wind'], q[2])
+            WdA = WdA + 0.5 * b_ref * jnp.sqrt(dq @ dq + 1e-16) * rho * u_inf ** 2
+        return F_sum, WdA
+
     model = Model(
         layout=layout, gc_names=gc_names, arch=arch, cfg=cfg, scaling=scaling,
         theta0_init=theta0_init, eq_fn=eq_fn, ineq_fn=ineq_fn,
         outputs_fn=outputs_fn, power_fn=power_fn,
         eq_slices=eq_slices, ineq_slices=ineq_slices,
         variable_bounds_scaled=bounds,
-        split=split, to_si=to_si, scale_full=scale_full)
+        split=split, to_si=to_si, scale_full=scale_full,
+        avg_induction_fn=avg_induction_integrands)
     return model

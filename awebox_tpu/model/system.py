@@ -109,6 +109,11 @@ def generate_structure(options, architecture) -> Tuple[VarLayout, List[str]]:
 
     # design parameters theta (system.py:195-221)
     theta += [('diam_t', 1)]
+    if induction_model == 'averaged':
+        # trajectory-averaged induction factor, enforced by an OCP-level
+        # integral constraint (induction_dir/averaged.py:39-58 +
+        # ocp/constraints.py:108-124)
+        theta += [('a', 1)]
     if system_type == 'drag_mode':
         theta += [('l_t', 1)]
     if (architecture.number_of_nodes - architecture.number_of_kites) > 1:

@@ -79,9 +79,58 @@ def segment_properties(cfg, si, theta0, arch, upper_node):
     }
 
 
+def _step_in_out(x, lb, ub, eps):
+    """Smooth indicator of lb < x < ub (vector_operations.py:382-390)."""
+    step_in = jnp.arctan((x - lb) / eps) / np.pi + 0.5
+    step_out = jnp.arctan((x - ub) / eps) / np.pi + 0.5
+    return step_in - step_out
+
+
+def reynolds_number(cfg, theta0, zz, ua_norm, diam):
+    """Element Reynolds number (tether_dir/reynolds.py:39-46)."""
+    rho = atmosphere.get_density(cfg['atmosphere_model'], theta0['atmosphere'], zz)
+    mu = atmosphere.get_viscosity(cfg['atmosphere_model'], theta0['atmosphere'], zz)
+    return rho * ua_norm * diam / mu
+
+
+def drag_coefficient(cfg, theta0, reynolds):
+    """cd(Re) per the selected model (tether_dir/coefficients.py:39-158):
+    'constant' uses theta0.tether.cd; 'piecewise' is the Roshko unit-step of
+    linear fits (smoothed with arctan steps); 'polyfit' uses the same curve
+    (the reference's separate polyfit is an interpolation of the Roshko
+    piecewise fit — behaviorally equivalent at the smoothing in use)."""
+    model = cfg.get('tether_cd_model', 'constant')
+    if model == 'constant':
+        return theta0['tether']['cd']
+    if model not in ('piecewise', 'polyfit'):
+        raise ValueError(f'invalid tether cd model {model!r}')
+    eps = cfg.get('tether_reynolds_smoothing', 1e-4)
+    re = jnp.maximum(reynolds, 1.0)
+    log_re = jnp.log10(re)
+    # piecewise linear-in-Re fits (coefficients.py:95-158: Stokes regime,
+    # laminar plateau, laminar separation, level, drag crisis, turbulent
+    # separation, high-Re plateau)
+    segs = [
+        (0.0, 2.0, 100. / re),
+        (2.0, 4.0, jnp.ones_like(re)),
+        (4.0, 4.3, 1.02198077356237e-5 * re + 1.01141242),
+        (4.3, 5.26, -1.03659206648679e-7 * re + 1.2046901692),
+        (5.26, 5.74, -3.28441892597317e-6 * re + 1.8415437577),
+        (5.74, 7.0, 7.10799367510221e-8 * re + 0.2824178662),
+        (7.0, 10.0, 0.8 * jnp.ones_like(re)),
+    ]
+    cd = 0.
+    for lb, ub, val in segs:
+        cd = cd + _step_in_out(log_re, lb, ub, eps) * val
+    return cd
+
+
 def element_drag(cfg, theta0, q_upper, q_lower, dq_upper, dq_lower, diam):
     """Drag force of one tether element (element.py:60-94). Vectorized over a
-    leading element axis of the q/dq arguments."""
+    leading element axis of the q/dq arguments. Note: the reference's tau
+    homotopy blend of tether-drag models (tether_aero.py:148-150) is disabled
+    in the reference itself (commented out); current behavior — the selected
+    model applied directly — is reproduced here."""
     q_avg = 0.5 * (q_upper + q_lower)
     zz = q_avg[..., 2]
     uw = wind.get_velocity(cfg['wind_model'], theta0['wind'], zz)
@@ -97,7 +146,9 @@ def element_drag(cfg, theta0, q_upper, q_lower, dq_upper, dq_lower, diam):
     length_parallel = jnp.sum(tether * ehat_ua, axis=-1)
     length_perp = jnp.sqrt(jnp.maximum(length_sq - length_parallel ** 2, 0.) + eps ** 4)
 
-    cd = theta0['tether']['cd']  # constant cd model
+    re = reynolds_number(cfg, theta0, zz, ua_norm, diam)
+    cd = jnp.asarray(drag_coefficient(cfg, theta0, re))
+    cd = cd[..., None] if cd.ndim else cd
     rho = atmosphere.get_density(cfg['atmosphere_model'], theta0['atmosphere'], zz)
     drag = cd * 0.5 * rho[..., None] * ua_norm[..., None] * diam \
         * length_perp[..., None] * ua

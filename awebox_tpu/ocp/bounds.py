@@ -52,12 +52,20 @@ def build_v_bounds(ocp) -> tuple[np.ndarray, np.ndarray]:
         lb[sl] = mb['x'][0]
         ub[sl] = mb['x'][1]
 
-    # u, z at shooting nodes
-    for k in range(n_k):
-        lb[vs.u_slice(k)] = mb['u'][0]
-        ub[vs.u_slice(k)] = mb['u'][1]
-        lb[vs.z_slice(k)] = mb['z'][0]
-        ub[vs.z_slice(k)] = mb['z'][1]
+    # u, z at their parameterization's nodes (var_struct.py:59-81)
+    if vs.u_param == 'zoh':
+        for k in range(n_k):
+            lb[vs.u_slice(k)] = mb['u'][0]
+            ub[vs.u_slice(k)] = mb['u'][1]
+            lb[vs.z_slice(k)] = mb['z'][0]
+            ub[vs.z_slice(k)] = mb['z'][1]
+    else:  # poly: controls + algebraic vars live on the collocation nodes
+        for k in range(n_k):
+            for j in range(d):
+                lb[vs.coll_u_slice(k, j)] = mb['u'][0]
+                ub[vs.coll_u_slice(k, j)] = mb['u'][1]
+                lb[vs.coll_z_slice(k, j)] = mb['z'][0]
+                ub[vs.coll_z_slice(k, j)] = mb['z'][1]
 
     # phase fixing on dl_t (var_bounds.py:105-223)
     if lift_mode and layout.has('x', 'dl_t'):

@@ -48,6 +48,7 @@ class OCP:
     n_ineq: int
     time_period_fn: Callable       # (V) -> scalar SI seconds
     tf_per_k_fn: Callable          # (V) -> (n_k,)
+    e_final_si_fn: Callable = None  # (V, P) -> final energy [J]
     outputs_on_coll_fn: Callable = None   # (V, P) -> pytree over (n_k*d) nodes
     outputs_on_shooting_fn: Callable = None  # (V, P) -> pytree over n_k nodes
     cost_components_fn: Callable = None   # (V, P) -> dict of scalars
@@ -71,8 +72,9 @@ def build_ocp(model: Model, options: dict) -> OCP:
     d = int(nlp_opts['collocation']['d'])
     scheme = nlp_opts['collocation']['scheme']
     u_param = nlp_opts['collocation']['u_param']
-    if u_param != 'zoh':
-        raise NotImplementedError('only zoh controls in this round')
+    if u_param not in ('zoh', 'poly'):
+        raise ValueError(f'unknown u_param {u_param!r}')
+    poly_u = (u_param == 'poly')
     coll = Collocation.build(d, scheme)
     layout = model.layout
     arch = model.arch
@@ -131,24 +133,28 @@ def build_ocp(model: Model, options: dict) -> OCP:
         return out
 
     def assemble_nodes(V):
-        """Returns (shooting_vecs (n_k, nv), coll_vecs (n_k*d, nv))."""
+        """Returns (shooting_vecs (n_k, nv) or None under poly controls,
+        coll_vecs (n_k*d, nv))."""
         X = vstruct.get_x_all(V)             # (n_k+1, nx)
-        U = vstruct.get_u_all(V)             # (n_k, nu)
-        XD = vstruct.get_xdot_all(V)         # (n_k, nxd)
-        Z = vstruct.get_z_all(V)             # (n_k, nz)
         CX = vstruct.get_coll_x(V)           # (n_k, d, nx)
         CZ = vstruct.get_coll_z(V)           # (n_k, d, nz)
         TH = model_theta_all(V)              # (n_k, nt)
-
-        shooting = jnp.concatenate([X[:n_k], XD, U, Z, TH], axis=1)
 
         # polynomial state derivative at collocation nodes
         X_stack = jnp.concatenate([X[:n_k, None, :], CX], axis=1)  # (n_k, d+1, nx)
         tfk = tf_per_k(V)
         Xdot_coll = jnp.einsum('rj,krn->kjn', C_deriv, X_stack) / (h * tfk[:, None, None])
 
-        U_c = jnp.broadcast_to(U[:, None, :], (n_k, d, nu))
         TH_c = jnp.broadcast_to(TH[:, None, :], (n_k, d, ntheta_model))
+        if poly_u:
+            U_c = vstruct.get_coll_u(V)      # (n_k, d, nu)
+            shooting = None
+        else:
+            U = vstruct.get_u_all(V)         # (n_k, nu)
+            XD = vstruct.get_xdot_all(V)     # (n_k, nxd)
+            Z = vstruct.get_z_all(V)         # (n_k, nz)
+            shooting = jnp.concatenate([X[:n_k], XD, U, Z, TH], axis=1)
+            U_c = jnp.broadcast_to(U[:, None, :], (n_k, d, nu))
         coll_vecs = jnp.concatenate([CX, Xdot_coll, U_c, CZ, TH_c], axis=2)
         return shooting, coll_vecs.reshape(n_k * d, -1)
 
@@ -156,12 +162,14 @@ def build_ocp(model: Model, options: dict) -> OCP:
         """Same as assemble_nodes but with zero xdot at the reference
         (objective.py:187: coll_refs use Xdot(0.0))."""
         X = vstruct.get_x_all(Vref)
-        U = vstruct.get_u_all(Vref)
-        Z = vstruct.get_z_all(Vref)
         CX = vstruct.get_coll_x(Vref)
         CZ = vstruct.get_coll_z(Vref)
         TH = model_theta_all(Vref)
-        U_c = jnp.broadcast_to(U[:, None, :], (n_k, d, nu))
+        if poly_u:
+            U_c = vstruct.get_coll_u(Vref)
+        else:
+            U = vstruct.get_u_all(Vref)
+            U_c = jnp.broadcast_to(U[:, None, :], (n_k, d, nu))
         TH_c = jnp.broadcast_to(TH[:, None, :], (n_k, d, ntheta_model))
         XD0 = jnp.zeros((n_k, d, nxd))
         coll_vecs = jnp.concatenate([CX, XD0, U_c, CZ, TH_c], axis=2)
@@ -169,15 +177,20 @@ def build_ocp(model: Model, options: dict) -> OCP:
 
     # --- structural row selection for shooting equalities ------------------
     # drop model equalities that depend only on x (would duplicate
-    # continuity and break LICQ; ocp/constraints.py:170-207)
-    rng = np.random.default_rng(0)
-    v_test = jnp.asarray(rng.normal(size=layout.total_dim) * 0.1 + 0.8)
-    phi_test = jnp.ones(len(PHI_NAMES))
-    J_test = np.asarray(jax.jacfwd(model.eq_fn)(v_test, phi_test, model.theta0_init))
-    non_x = np.ones(layout.total_dim, dtype=bool)
-    non_x[layout.type_offsets['x']:layout.type_offsets['x'] + layout.dims['x']] = False
-    keep_rows = np.where(np.abs(J_test[:, non_x]).sum(axis=1) > 1e-12)[0]
+    # continuity and break LICQ; ocp/constraints.py:170-207). Poly controls
+    # place no model equalities at shooting nodes at all
+    # (var_struct.py:59-81: no u/xdot/z live there).
     n_eq_model = model.n_eq
+    if poly_u:
+        keep_rows = np.zeros(0, dtype=int)
+    else:
+        rng = np.random.default_rng(0)
+        v_test = jnp.asarray(rng.normal(size=layout.total_dim) * 0.1 + 0.8)
+        phi_test = jnp.ones(len(PHI_NAMES))
+        J_test = np.asarray(jax.jacfwd(model.eq_fn)(v_test, phi_test, model.theta0_init))
+        non_x = np.ones(layout.total_dim, dtype=bool)
+        non_x[layout.type_offsets['x']:layout.type_offsets['x'] + layout.dims['x']] = False
+        keep_rows = np.where(np.abs(J_test[:, non_x]).sum(axis=1) > 1e-12)[0]
     n_sh = len(keep_rows)
     keep_rows_j = jnp.asarray(keep_rows)
 
@@ -210,6 +223,27 @@ def build_ocp(model: Model, options: dict) -> OCP:
     add_eq('continuity', n_k * nx)
     if periodic:
         add_eq('periodic', int(periodic_keep.sum()))
+    averaged_induction = model.cfg.get('induction_model') == 'averaged'
+    if averaged_induction:
+        # trajectory-averaged momentum balance F_avg/T = 4a(1-a) WdA_int
+        # (ocp/constraints.py:108-124 + induction_dir/averaged.py)
+        add_eq('avg_induction', 1)
+        # row scale: the constraint is dominated by the WdA integral
+        # (dynamic pressure x swept area over the reelout); scaling by its
+        # build-time estimate keeps the residual O(1) for the IP solver
+        from ..options import derived as _derived
+        _gs = float(options['solver']['initialization']['groundspeed'])
+        _u_ref = float(options['user_options']['wind']['u_ref'])
+        _b_ref = float(np.asarray(options['processed']['geometry']['b_ref']))
+        _T_est = float(_derived.estimate_time_period(options, arch))
+        avg_row_scale = max(
+            0.5 * _b_ref * _gs * 1.225 * _u_ref ** 2 * _T_est
+            * arch.number_of_kites,
+            float(_derived.estimate_aero_force(options)))
+        a_theta_slice = layout.slices['theta']['a']
+        a_scale = float(model.scaling['theta'][a_theta_slice][0])
+        reelout_mask = jnp.asarray((phase_idx == 0).astype(float)) \
+            if single_reelout else jnp.ones(n_k)
     n_eq_total = cursor
 
     radau = (scheme == 'radau')
@@ -234,8 +268,9 @@ def build_ocp(model: Model, options: dict) -> OCP:
                 rows.append(X[0][sl] - ref_x0[sl])
             res.append(jnp.concatenate(rows))
 
-        eq_sh = jax.vmap(model.eq_fn, in_axes=(0, None, None))(shooting, phi, theta0)
-        res.append(eq_sh[:, keep_rows_j].reshape(-1))
+        if not poly_u:
+            eq_sh = jax.vmap(model.eq_fn, in_axes=(0, None, None))(shooting, phi, theta0)
+            res.append(eq_sh[:, keep_rows_j].reshape(-1))
 
         eq_coll = jax.vmap(model.eq_fn, in_axes=(0, None, None))(coll_vecs, phi, theta0)
         res.append(eq_coll.reshape(-1))
@@ -250,6 +285,28 @@ def build_ocp(model: Model, options: dict) -> OCP:
             diff = X[0] - terminal_x(V)
             res.append(diff[periodic_idx])
 
+        if averaged_induction:
+            F_nodes, WdA_nodes = jax.vmap(
+                model.avg_induction_fn, in_axes=(0, None, None))(
+                    coll_vecs, phi, theta0)
+            tfk = tf_per_k(V)
+            # per-interval quadrature over the reelout phase
+            # (Integral_outputs at the switch node, ocp/constraints.py:113-115)
+            Fk = (F_nodes.reshape(n_k, d) @ int_w) * h * tfk * reelout_mask
+            Wk = (WdA_nodes.reshape(n_k, d) @ int_w) * h * tfk * reelout_mask
+            T = time_period(V)
+            a_scaled = vstruct.get_theta(V, 'a')[0]
+            a = a_scaled * a_scale
+            expr = (Fk.sum() / T - 4. * a * (1. - a) * Wk.sum()) / avg_row_scale
+            # gamma-homotopy blend: while the fictitious-force relaxation is
+            # active (gamma=1) the constraint just pins a at its initial
+            # guess; the physical momentum balance takes over as gamma -> 0
+            # (the iota pattern of induction.py:76-101, needed because the
+            # early homotopy trajectory is physically meaningless)
+            gamma_h = phi[PHI_NAMES.index('gamma')]
+            trivial = a_scaled - 1.0
+            res.append(jnp.array([gamma_h * trivial + (1. - gamma_h) * expr]))
+
         return jnp.concatenate(res)
 
     # --- inequality layout --------------------------------------------------
@@ -261,7 +318,9 @@ def build_ocp(model: Model, options: dict) -> OCP:
         ineq_slices[name] = slice(icursor, icursor + dim)
         icursor += dim
 
-    add_ineq('path', n_k * n_ineq_model)
+    # zoh: path inequalities bind at the n_k shooting nodes; poly: at the
+    # n_k*d collocation nodes (ocp/constraints.py:263-268)
+    add_ineq('path', (n_k * d if poly_u else n_k) * n_ineq_model)
     if single_reelout:
         add_ineq('t_f_bounds', 2)
     n_ineq_total = icursor
@@ -271,10 +330,11 @@ def build_ocp(model: Model, options: dict) -> OCP:
     def ineq_fn(V, P):
         phi = vstruct.get_phi(V)
         theta0 = P['theta0']
-        shooting, _ = assemble_nodes(V)
+        shooting, coll_vecs = assemble_nodes(V)
+        path_nodes = coll_vecs if poly_u else shooting
         res = []
         if n_ineq_model:
-            path = jax.vmap(model.ineq_fn, in_axes=(0, None, None))(shooting, phi, theta0)
+            path = jax.vmap(model.ineq_fn, in_axes=(0, None, None))(path_nodes, phi, theta0)
             res.append(path.reshape(-1))
         else:
             res.append(jnp.zeros(0))
@@ -321,6 +381,31 @@ def build_ocp(model: Model, options: dict) -> OCP:
     kite_dof = model.cfg['kite_dof']
     traj_type = traj['type']
 
+    # energy bookkeeping: as a state (integral_outputs=False, the reference
+    # 'constraints' integration path) or as a collocation quadrature of the
+    # instantaneous power output (integral_outputs=True,
+    # ocp/collocation.py:349 + discretization.py:351-353)
+    e_scale_proc = options['processed']['scaling']['x'].get('e')
+    e_quad_scale = float(np.asarray(e_scale_proc).ravel()[0]) \
+        if e_scale_proc is not None else 1.0
+
+    def e_final_scaled(V, P):
+        if e_slice_in_x is not None:
+            return vstruct.get_x_all(V)[n_k][e_slice_in_x][0]
+        phi = vstruct.get_phi(V)
+        _, coll_vecs = assemble_nodes(V)
+        p_nodes = jax.vmap(model.power_fn, in_axes=(0, None, None))(
+            coll_vecs, phi, P['theta0'])             # SI watts per node
+        tfk = tf_per_k(V)
+        ek = (p_nodes.reshape(n_k, d) @ int_w) * h * tfk
+        return ek.sum() / e_quad_scale
+
+    e_state_scale = float(model.scaling['x'][e_slice_in_x][0]) \
+        if e_slice_in_x is not None else e_quad_scale
+
+    def e_final_si(V, P):
+        return e_final_scaled(V, P) * e_state_scale
+
     # beta extraction per collocation node for the beta cost (6-DOF only)
     if kite_dof == 6:
         from ..model.aero import kite_aero as _ka
@@ -359,8 +444,7 @@ def build_ocp(model: Model, options: dict) -> OCP:
         T_ref = time_period(P['ref'])
         comp['time_cost'] = P['cost']['t_f'] * (T - T_ref) ** 2
 
-        e_end_scaled = vstruct.get_x_all(V)[n_k][e_slice_in_x][0]
-        comp['power_cost'] = P['cost']['power'] * (-1.) * e_end_scaled / T
+        comp['power_cost'] = P['cost']['power'] * (-1.) * e_final_scaled(V, P) / T
 
         if kite_dof == 6:
             betas = jax.vmap(beta_at_node, in_axes=(0, None))(coll_vecs, theta0)
@@ -406,13 +490,15 @@ def build_ocp(model: Model, options: dict) -> OCP:
             coll_vecs, phi, theta0)
 
     def outputs_on_shooting(V, P):
-        """Model outputs at the n_k shooting nodes — the nodes where path
-        inequalities are enforced under zoh (ocp/constraints.py:263-268)."""
+        """Model outputs at the nodes where path inequalities are enforced:
+        the n_k shooting nodes under zoh, the collocation nodes under poly
+        (ocp/constraints.py:263-268)."""
         phi = vstruct.get_phi(V)
         theta0 = P['theta0']
-        shooting, _ = assemble_nodes(V)
+        shooting, coll_vecs = assemble_nodes(V)
+        nodes = coll_vecs if poly_u else shooting
         return jax.vmap(model.outputs_fn, in_axes=(0, None, None))(
-            shooting, phi, theta0)
+            nodes, phi, theta0)
 
     ocp = OCP(model=model, vstruct=vstruct, coll=coll, options=options,
               n_k=n_k, d=d, phase_idx=phase_idx, switch_kdx=switch_kdx,
@@ -420,6 +506,7 @@ def build_ocp(model: Model, options: dict) -> OCP:
               eq_slices=eq_slices, ineq_slices=ineq_slices,
               n_eq=n_eq_total, n_ineq=n_ineq_total,
               time_period_fn=time_period, tf_per_k_fn=tf_per_k,
+              e_final_si_fn=e_final_si,
               outputs_on_coll_fn=outputs_on_coll,
               outputs_on_shooting_fn=outputs_on_shooting,
               cost_components_fn=cost_components,

@@ -1,11 +1,16 @@
 """NLP decision-vector layout for direct collocation.
 
 Flat-vector counterpart of the reference's casadi V struct
-(/root/reference/awebox/ocp/var_struct.py:39-115), zoh control
-parameterization:
+(/root/reference/awebox/ocp/var_struct.py:39-115). Two control
+parameterizations (var_struct.py:59-81):
 
-    V = [theta, phi, x[0..nk], u[0..nk-1], xdot[0..nk-1], z[0..nk-1],
-         coll_x[nk, d], coll_z[nk, d]]
+zoh:  V = [theta, phi, x[0..nk], u[0..nk-1], xdot[0..nk-1], z[0..nk-1],
+           coll_x[nk, d], coll_z[nk, d]]
+poly: V = [theta, phi, x[0..nk], coll_x[nk, d], coll_z[nk, d],
+           coll_u[nk, d]]
+      (controls live on the collocation nodes as degree d-1 polynomials; no
+      u/xdot/z at shooting nodes, and path constraints move to the
+      collocation nodes, constraints.py:263-268)
 
 All indexing is static numpy; jitted code sees only constant-offset gathers.
 """
@@ -58,10 +63,12 @@ class VStruct:
             offsets['u'] = cursor; cursor += n_k * nu
             offsets['xdot'] = cursor; cursor += n_k * nxd
             offsets['z'] = cursor; cursor += n_k * nz
-        else:
-            raise NotImplementedError('poly controls land with the MPC milestone')
+        elif u_param != 'poly':
+            raise ValueError(f'unknown u_param {u_param!r}')
         offsets['coll_x'] = cursor; cursor += n_k * d * nx
         offsets['coll_z'] = cursor; cursor += n_k * d * nz
+        if u_param == 'poly':
+            offsets['coll_u'] = cursor; cursor += n_k * d * nu
 
         return VStruct(n_k=n_k, d=d, nx=nx, nu=nu, nxd=nxd, nz=nz,
                        theta_names=theta_names, theta_dims=theta_dims,
@@ -108,6 +115,10 @@ class VStruct:
         start = self.offsets['coll_z'] + (k * self.d + j) * self.nz
         return slice(start, start + self.nz)
 
+    def coll_u_slice(self, k, j) -> slice:
+        start = self.offsets['coll_u'] + (k * self.d + j) * self.nu
+        return slice(start, start + self.nu)
+
     # --- reshaping views (for jnp arrays) ----------------------------------
     def get_x_all(self, V):
         """(n_k+1, nx)"""
@@ -134,6 +145,12 @@ class VStruct:
     def get_coll_z(self, V):
         o = self.offsets['coll_z']
         return V[o:o + self.n_k * self.d * self.nz].reshape(self.n_k, self.d, self.nz)
+
+    def get_coll_u(self, V):
+        """(n_k, d, nu); poly controls only."""
+        o = self.offsets['coll_u']
+        return V[o:o + self.n_k * self.d * self.nu].reshape(
+            self.n_k, self.d, self.nu)
 
     def get_theta(self, V, name):
         return V[self.theta_slice(name)]

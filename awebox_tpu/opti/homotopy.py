@@ -78,9 +78,27 @@ def define_schedule(ocp):
         'final': {0: 'Final solution.'},
     }
     used_phis = {'gamma', 'psi'} | ({'iota'} if make_induction_step else set())
-    return {'steps': steps, 'costs_to_update': costs_to_update,
-            'bounds_to_update': bounds_to_update, 'labels': labels,
-            'used_phis': used_phis}
+    schedule = {'steps': steps, 'costs_to_update': costs_to_update,
+                'bounds_to_update': bounds_to_update, 'labels': labels,
+                'used_phis': used_phis}
+
+    # 'single' compressed method: all intermediate steps fold into one
+    # 'middle' step with merged cost/bound updates (scheduling.py:37-51 +
+    # compress_homotopy_schedule, scheduling.py:522-540)
+    if options['solver']['homotopy_method']['type'] == 'single':
+        middle = [s for s in steps if s not in ('initial', 'final')]
+        merged_costs = {0: [], 1: []}
+        merged_bounds = {0: [], 1: []}
+        for s in middle:
+            for counter in (0, 1):
+                merged_costs[counter] += costs_to_update[s].get(counter, [])
+                merged_bounds[counter] += bounds_to_update[s].get(counter, [])
+        schedule['steps'] = ['initial', 'middle', 'final']
+        schedule['costs_to_update']['middle'] = merged_costs
+        schedule['bounds_to_update']['middle'] = merged_bounds
+        schedule['labels']['middle'] = {0: 'Compressed homotopy (relax)...',
+                                        1: 'Compressed homotopy (enforce)...'}
+    return schedule
 
 
 def build_p_fix(ocp, V_ref: np.ndarray) -> dict:
@@ -113,6 +131,21 @@ def build_p_fix(ocp, V_ref: np.ndarray) -> dict:
     }
 
 
+def _u_entry_slices(ocp, rel):
+    """V-slices of one control entry across all nodes where controls live
+    (shooting nodes under zoh, collocation nodes under poly)."""
+    vs = ocp.vstruct
+    if vs.u_param == 'zoh':
+        for k in range(ocp.n_k):
+            s = vs.u_slice(k)
+            yield slice(s.start + rel.start, s.start + rel.stop)
+    else:
+        for k in range(ocp.n_k):
+            for j in range(ocp.d):
+                s = vs.coll_u_slice(k, j)
+                yield slice(s.start + rel.start, s.start + rel.stop)
+
+
 def set_initial_bounds(ocp, lb, ub, V_init, schedule):
     """Pre-homotopy bound pinning (preparation.py:150-230)."""
     vs = ocp.vstruct
@@ -139,10 +172,9 @@ def set_initial_bounds(ocp, lb, ub, V_init, schedule):
     for name in layout.names('u'):
         if 'fict' in name:
             rel = layout.slices['u'][name]
-            for k in range(ocp.n_k):
-                s = vs.u_slice(k)
-                lb[s.start + rel.start:s.start + rel.stop] = -np.inf
-                ub[s.start + rel.start:s.start + rel.stop] = np.inf
+            for s in _u_entry_slices(ocp, rel):
+                lb[s] = -np.inf
+                ub[s] = np.inf
 
     # phase fix: free dl_t and l_t until the power step
     if ocp.switch_kdx < ocp.n_k:
@@ -176,21 +208,15 @@ def apply_bound_update(ocp, lb, ub, lb_nominal, ub_nominal, update):
         name = arg
         if layout.has('u', name):
             rel = layout.slices['u'][name]
-            for k in range(ocp.n_k):
-                s = vs.u_slice(k)
-                lb[s.start + rel.start:s.start + rel.stop] = \
-                    lb_nominal[s.start + rel.start:s.start + rel.stop]
-                ub[s.start + rel.start:s.start + rel.stop] = \
-                    ub_nominal[s.start + rel.start:s.start + rel.stop]
+            for s in _u_entry_slices(ocp, rel):
+                lb[s] = lb_nominal[s]
+                ub[s] = ub_nominal[s]
     elif kind == 'release_fict':
         for name in arg:
             rel = layout.slices['u'][name]
-            for k in range(ocp.n_k):
-                s = vs.u_slice(k)
-                lb[s.start + rel.start:s.start + rel.stop] = \
-                    lb_nominal[s.start + rel.start:s.start + rel.stop]
-                ub[s.start + rel.start:s.start + rel.stop] = \
-                    ub_nominal[s.start + rel.start:s.start + rel.stop]
+            for s in _u_entry_slices(ocp, rel):
+                lb[s] = lb_nominal[s]
+                ub[s] = ub_nominal[s]
     elif kind == 'restore_phase_fix':
         for base in ('dl_t', 'l_t'):
             rel = layout.slices['x'][base]
@@ -202,6 +228,40 @@ def apply_bound_update(ocp, lb, ub, lb_nominal, ub_nominal, update):
     else:
         raise ValueError(f'unknown bound update {kind}')
     return lb, ub
+
+
+def final_bounds(ocp, lb_nominal, ub_nominal, V_init, schedule=None):
+    """The bound vectors in effect at the 'final' homotopy step: replay every
+    bound update of the schedule without solving (used to continue/refine a
+    solved problem, e.g. the batched sweep path)."""
+    if schedule is None:
+        schedule = define_schedule(ocp)
+    lb, ub = set_initial_bounds(ocp, lb_nominal, ub_nominal, V_init, schedule)
+    for step_name in schedule['steps']:
+        for counter in sorted(schedule['bounds_to_update'][step_name]):
+            for update in schedule['bounds_to_update'][step_name][counter]:
+                lb, ub = apply_bound_update(ocp, lb, ub, lb_nominal,
+                                            ub_nominal, update)
+    return lb, ub
+
+
+def final_cost_values(ocp, schedule=None):
+    """Cost weights in effect at the 'final' step (same replay idea)."""
+    options = ocp.options
+    if schedule is None:
+        schedule = define_schedule(ocp)
+    cost_table = options['solver']['cost']
+    counter_state = {name: -1 for name in COST_NAMES}
+    for step_name in schedule['steps']:
+        for counter in sorted(schedule['costs_to_update'][step_name]):
+            for cost_name in schedule['costs_to_update'][step_name][counter]:
+                counter_state[cost_name] += 1
+    out = {}
+    for name in COST_NAMES:
+        ladder = cost_table.get(name, [0.])
+        idx = min(max(counter_state[name], 0), len(ladder) - 1)
+        out[name] = float(ladder[idx])
+    return out
 
 
 @dataclass
@@ -234,14 +294,20 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
     # wake couples nodes through the shedding history, which breaks the
     # per-interval block structure — always dense there.
     choice = sol_opts.get('linear_solver', 'auto')
-    vortex = ocp.model.cfg.get('induction_model') == 'vortex'
+    induction = ocp.model.cfg.get('induction_model')
+    # vortex couples intervals through the wake history; 'averaged' adds one
+    # dense integral row over the whole horizon — both break the
+    # block-tridiagonal structure
+    dense_only = induction in ('vortex', 'averaged') \
+        or ocp.options['model']['integral_outputs'] \
+        or ocp.vstruct.u_param == 'poly'
     if use_structured is not None:      # legacy knob from round 1
         choice = 'block' if use_structured else 'dense'
     if choice == 'auto':
-        choice = 'dense' if (vortex or ocp.vstruct.total < 1200) else 'block'
-    if vortex and choice == 'block':
-        raise ValueError("linear_solver='block' is incompatible with the "
-                         "vortex induction model (wake history couples "
+        choice = 'dense' if (dense_only or ocp.vstruct.total < 1200) else 'block'
+    if dense_only and choice == 'block':
+        raise ValueError(f"linear_solver='block' is incompatible with "
+                         f"induction_model='{induction}' (constraints couple "
                          "intervals); use 'dense'")
 
     if solver_cache is not None and 'solver' in solver_cache:
@@ -271,6 +337,13 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
     stats = {'iterations': {}, 't_wall': {}}
     step_results = {}
     success = True
+
+    # per-iteration recording (reference tools/callback.py:31-118 via
+    # option solver.callback); iterates land in stats['iterates'][step_key]
+    record_iterates = bool(sol_opts.get('callback', False))
+    callback_step = int(sol_opts.get('callback_step', 1))
+    if record_iterates:
+        stats['iterates'] = {}
 
     steps = schedule['steps']
     if final_homotopy_step in steps:
@@ -307,12 +380,19 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
                                        lam0=state['lam'], mu=mu_init)
             else:
                 ws = solver.init_state(w, P, lb, ub, mu=mu_init)
+            key = f'{step_name}_{counter}'
+            cb = None
+            if record_iterates:
+                recs = stats['iterates'].setdefault(key, [])
+
+                def cb(w=None, **info):  # drop the full iterate, keep scalars
+                    recs.append(info)
             res = solver.solve(w, P, lb, ub, state=ws, tol=tol,
                                mu_target=mu_target,
                                max_iter=sol_opts['max_iter'],
-                               verbose=verbose)
+                               verbose=verbose,
+                               callback=cb, callback_step=callback_step)
             elapsed = time.time() - t0
-            key = f'{step_name}_{counter}'
             stats['iterations'][key] = res.iterations
             stats['t_wall'][key] = elapsed
             step_results[key] = {'status': res.status, 'kkt_error': res.kkt_error,

@@ -200,8 +200,9 @@ def build_initial_guess(ocp) -> np.ndarray:
             z_init[sl] = a_ref / model.scaling['z'][sl]
         elif name.startswith(('acos_', 'asin_')):
             z_init[sl] = 0.
-    for k in range(n_k):
-        V[vs.z_slice(k)] = z_init
+    if vs.u_param == 'zoh':
+        for k in range(n_k):
+            V[vs.z_slice(k)] = z_init
     for k in range(n_k):
         for j in range(d):
             V[vs.coll_z_slice(k, j)] = z_init
@@ -248,15 +249,17 @@ def build_initial_guess(ocp) -> np.ndarray:
                 V[vs.coll_x_slice(k, j)] = pack_x(ret_c)
                 # coll z stays at scaled 1
 
-    # xdot from the interpolating polynomial (initialization.py:240-246)
-    C = ocp.coll.coeff_collocation
-    h = 1. / n_k
-    for k in range(n_k):
-        X_stack = np.stack([V[vs.x_slice(k)]] +
-                           [V[vs.coll_x_slice(k, j)] for j in range(d)])
-        xdot0_scaled_x = (C[:, 0] @ X_stack) / (h * tf_guess)
-        # convert x-scaled derivative to xdot scaling (identical vectors)
-        V[vs.xdot_slice(k)] = xdot0_scaled_x
+    # xdot from the interpolating polynomial (initialization.py:240-246);
+    # poly controls carry no shooting-node xdot block
+    if vs.u_param == 'zoh':
+        C = ocp.coll.coeff_collocation
+        h = 1. / n_k
+        for k in range(n_k):
+            X_stack = np.stack([V[vs.x_slice(k)]] +
+                               [V[vs.coll_x_slice(k, j)] for j in range(d)])
+            xdot0_scaled_x = (C[:, 0] @ X_stack) / (h * tf_guess)
+            # convert x-scaled derivative to xdot scaling (identical vectors)
+            V[vs.xdot_slice(k)] = xdot0_scaled_x
 
     return V
 

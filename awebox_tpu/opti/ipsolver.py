@@ -295,7 +295,12 @@ class InteriorPointSolver:
 
     # ------------------------------------------------------------------
     def solve(self, w0, p, lbw, ubw, state=None, tol=None, mu_init=None,
-              mu_target=None, max_iter=None, verbose=None, **kw) -> IPResult:
+              mu_target=None, max_iter=None, verbose=None, callback=None,
+              callback_step=1, **kw) -> IPResult:
+        """callback(it=..., w=..., mu=..., err=..., f=..., alpha=...) is
+        invoked every `callback_step` iterations — the per-iteration
+        recording hook (reference tools/callback.py:31-118, enabled by
+        option solver.callback)."""
         import copy as _copy
         o = _copy.copy(self.opts)
         lbw, ubw, free_np, center_np = self.split_pins(lbw, ubw)
@@ -565,6 +570,11 @@ class InteriorPointSolver:
             zu = jnp.clip(zu, mu / (kappa_sigma * du), kappa_sigma * mu / du)
             zl = jnp.where(jnp.isfinite(lbw), zl, 0.)
             zu = jnp.where(jnp.isfinite(ubw), zu, 0.)
+
+            if callback is not None and it % callback_step == 0:
+                callback(it=it, w=np.asarray(w), mu=float(mu),
+                         err=float(err_mu), f=float(fval),
+                         alpha=float(alpha), delta_w=float(delta_w))
 
             if o.verbose and (it % 10 == 0 or it <= 30):
                 print(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '

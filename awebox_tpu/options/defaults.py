@@ -33,7 +33,7 @@ def default_options_tree():
             'cross_tether': False,
         },
         'wind': {
-            'model': 'log_wind',              # log_wind | power | uniform
+            'model': 'log_wind',       # log_wind | power | uniform | datafile
             'u_ref': 5.,
         },
         'induction_model': 'not_in_use',
@@ -52,6 +52,7 @@ def default_options_tree():
             'z_ref': 10.,
             'log_wind': {'z0_air': 0.1},
             'power_wind': {'exp_ref': 0.15},
+            'datafile': None,   # {'heights','u_x','u_y'} arrays for model='datafile'
         },
         'tether': {
             'kappa': 10., 'rho': 970., 'cd': 1., 'f_max': 5.,
@@ -71,7 +72,8 @@ def default_options_tree():
         'tether': {
             'control_var': 'dddl_t',     # ddl_t | dddl_t
             'aero_elements': 5,
-            'cd_model': 'constant',
+            'cd_model': 'constant',      # constant | piecewise | polyfit
+            'reynolds_smoothing': 1e-4,
             'attachment': 'com',
             'lift_tether_force': False,
         },
@@ -82,6 +84,7 @@ def default_options_tree():
                 'comparison': [],          # extra models to co-build: 'act'
                 'force_zero': False,
             },
+            'geometry': {'model': 'averaged'},  # averaged | parent | frenet
             # vortex-wake options (reference opts/default.py:124-143)
             'vortex': {
                 'representation': 'alg',
@@ -117,6 +120,7 @@ def default_options_tree():
                 'diam_t': [1.0e-4, 1.0e-1],
                 'diam_s': [1.0e-4, 1.0e-1],
                 't_f': [1e-3, 500.0],
+                'a': [0., 0.5],   # averaged induction factor (momentum limit)
             },
             'x': {
                 'l_t': [1.0e-2, 1.0e3],
@@ -203,6 +207,7 @@ def default_options_tree():
             'theta': {
                 'l_i': 100., 'l_s': 50., 'l_c': 100.,
                 'diam_t': 5e-3, 'diam_i': 4e-3, 'diam_s': 5e-3, 'diam_c': 5e-3,
+                'a': 1. / 3.,   # averaged-induction factor guess (Betz point)
             },
         },
         'tracking': {'stagger_distance': 0.1},
@@ -232,6 +237,8 @@ def default_options_tree():
             't_f':                  [0.],
             'beta':                 [1e3],
         },
+        'callback': False,       # per-iteration recording (tools/callback.py)
+        'callback_step': 1,
         'health_check': {'when': 'never', 'raise_exception': False,
                          'thresh': {'reduced_hessian_eig': 1e-8,
                                     'condition_number': 1e9}},

@@ -78,6 +78,28 @@ class Options:
     def as_dict(self) -> Dict[str, Any]:
         return copy.deepcopy(self._tree)
 
+    @classmethod
+    def from_tree(cls, tree: Dict[str, Any]) -> 'Options':
+        """Rebuild from a full options tree (the save/reload path,
+        reference trial.py:62-76: seed can be a loaded dict). The stored
+        tree is merged onto fresh defaults, so files saved before an option
+        existed still load (new options keep their default)."""
+        obj = cls()
+
+        def merge(dst, src):
+            for key, val in src.items():
+                # config subtrees (string keys) merge; value dicts like the
+                # architecture parent map (int keys) replace wholesale
+                if (isinstance(val, dict) and isinstance(dst.get(key), dict)
+                        and all(isinstance(k, str)
+                                for k in list(val) + list(dst[key]))):
+                    merge(dst[key], val)
+                else:
+                    dst[key] = copy.deepcopy(val)
+
+        merge(obj._tree, tree)
+        return obj
+
     # --- build ------------------------------------------------------------
     def build(self, architecture):
         """Process raw options into architecture-aware options, including the

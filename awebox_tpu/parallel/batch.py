@@ -49,16 +49,49 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         if derivs_fn is not None or not hasattr(ocp, 'model'):
             kkt = 'dense'
         else:
-            vortex = ocp.model.cfg.get('induction_model') == 'vortex'
-            kkt = 'dense' if vortex else 'block'
+            # block structure requires the zoh interval layout without
+            # horizon-coupling constraints (vortex wake, averaged integral)
+            dense_only = (
+                ocp.model.cfg.get('induction_model') in ('vortex', 'averaged')
+                or ocp.options['model']['integral_outputs']
+                or ocp.vstruct.u_param == 'poly')
+            kkt = 'dense' if dense_only else 'block'
 
     if kkt == 'block':
         return _make_block_ip_step(ocp, delta_w=delta_w, delta_c=delta_c,
                                    tau=tau, kappa_mu=kappa_mu, mu_min=mu_min)
 
     if derivs_fn is None:
-        from ..ocp.structured import make_structured_derivs
-        derivs_fn = make_structured_derivs(ocp)
+        # the structured per-node assembly covers the zoh layout without
+        # horizon-coupling rows; everything else gets plain dense autodiff
+        structured_ok = (
+            hasattr(ocp, 'model')
+            and ocp.vstruct.u_param == 'zoh'
+            and ocp.model.cfg.get('induction_model') not in ('vortex', 'averaged')
+            and not ocp.options['model']['integral_outputs'])
+        if structured_ok:
+            from ..ocp.structured import make_structured_derivs
+            derivs_fn = make_structured_derivs(ocp)
+        else:
+            f, eq, ineq = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
+            n_eq_l, n_ineq_l = ocp.n_eq, ocp.n_ineq
+
+            def lagrangian(w, y, lam, p):
+                L = f(w, p)
+                if n_eq_l:
+                    L = L + y @ eq(w, p)
+                if n_ineq_l:
+                    L = L + lam @ ineq(w, p)
+                return L
+
+            def derivs_fn(w, y, lam, p):
+                fval, gradf = jax.value_and_grad(f)(w, p)
+                cE = eq(w, p) if n_eq_l else jnp.zeros(0)
+                cI = ineq(w, p) if n_ineq_l else jnp.zeros(0)
+                JE = jax.jacfwd(eq)(w, p) if n_eq_l else jnp.zeros((0, n))
+                JI = jax.jacfwd(ineq)(w, p) if n_ineq_l else jnp.zeros((0, n))
+                H = jax.hessian(lagrangian)(w, y, lam, p)
+                return fval, gradf, cE, cI, JE, JI, H
 
     def step(state, p, lbw, ubw, free):
         w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
@@ -222,12 +255,16 @@ def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
 
 
 def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
-                        axis_name: str = 'scenario'):
+                        axis_name: str = 'scenario', batch_p: bool = False):
     """vmapped + sharded fixed-iteration IP solve over a scenario batch.
 
-    Returns solve(batched_state, batched_P) jitted; if a Mesh is given, the
+    Returns solve(batched_state, P) jitted; if a Mesh is given, the
     scenario axis of all inputs is sharded over it (pure data parallelism over
     ICI; independent NLPs need no collectives - SURVEY section 2.10/5.8).
+
+    batch_p=True treats every leaf of P as carrying a leading scenario axis
+    (parameter sweeps: per-scenario theta0/cost/ref); False shares one P
+    across the batch (e.g. randomized-initialization robustness studies).
     """
     from ..opti.ipsolver import InteriorPointSolver
     lbw, ubw, free_np, center_np = InteriorPointSolver.split_pins(lb, ub)
@@ -243,16 +280,36 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
         out, _ = jax.lax.scan(body, state, None, length=n_iter)
         return out
 
-    batched = jax.vmap(solve_one, in_axes=(0, None))
+    batched = jax.vmap(solve_one, in_axes=(0, 0 if batch_p else None))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P(axis_name))
         state_shardings = jax.tree_util.tree_map(lambda _: shard, {
             'w': 0, 's': 0, 'y': 0, 'lam': 0, 'zl': 0, 'zu': 0, 'mu': 0})
-        return jax.jit(batched, in_shardings=(state_shardings, None),
+        p_shardings = shard if batch_p else None
+        if batch_p:
+            # every P leaf carries the scenario axis; shard them all
+            return jax.jit(batched,
+                           in_shardings=(state_shardings, jax.tree_util.tree_map(
+                               lambda _: shard, _p_template(ocp))),
+                           out_shardings=state_shardings)
+        return jax.jit(batched, in_shardings=(state_shardings, p_shardings),
                        out_shardings=state_shardings)
     return jax.jit(batched)
+
+
+def _p_template(ocp):
+    """Template P pytree for sharding annotation (structure only)."""
+    from ..opti.homotopy import build_p_fix
+    import numpy as _np
+    return build_p_fix(ocp, _np.zeros(ocp.vstruct.total))
+
+
+def stack_p(p_list):
+    """Stack per-scenario parameter pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *p_list)
 
 
 def init_batched_state(ocp, V_init_batch, P, lb, ub, mu0=1e-2):

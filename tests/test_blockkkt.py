@@ -17,6 +17,8 @@ from awebox_tpu.opti.homotopy import build_p_fix, define_schedule, set_initial_b
 from awebox_tpu.opti.initialization import build_initial_guess, build_reference
 from awebox_tpu.opti.ipsolver import InteriorPointSolver
 
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
+
 
 def _build(n_k=3, d=2, phase_fix='simple'):
     options = Options()

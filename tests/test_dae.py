@@ -6,6 +6,8 @@ import pytest
 from awebox_tpu.model.dae import Dae
 from tests.test_model_dynamics import build_3dof_model, set_var
 
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
+
 
 def make_dae():
     model, processed, arch = build_3dof_model()

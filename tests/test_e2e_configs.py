@@ -1,0 +1,141 @@
+"""End-to-end solve matrix across feature configurations.
+
+Counterpart of /root/reference/test/trials/test_trials.py:36-157 (18 named
+tiny-trial configs solved through the full homotopy). Marked slow: run with
+`pytest -m slow tests/test_e2e_configs.py`; the core suite stays under the
+CI budget without them. Each config builds, optimizes, and asserts solver
+success plus basic physicality.
+"""
+import numpy as np
+import pytest
+
+from awebox_tpu.api.trial import Trial
+from tests.test_options import make_ampyx_options
+
+
+def _solve(options, name):
+    trial = Trial(options, name).build()
+    trial.optimize(verbose=False)
+    assert trial.solve_succeeded, trial.solution.step_results
+    go = trial.global_outputs()
+    assert 5. < go['time_period'] < 200.
+    assert np.isfinite(go['avg_power_watts'])
+    return trial
+
+
+@pytest.mark.slow
+def test_e2e_6dof_single_kite():
+    """6-DOF single kite (reference single_kite_6_dof_basic_health config)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 6
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    _solve(options, 'e2e_6dof')
+
+
+@pytest.mark.slow
+def test_e2e_dual_kite_3dof():
+    """Dual kites on a Y-tether (reference dual_kite_trial)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.system_model.architecture'] = {1: 0, 2: 1, 3: 1}
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 2
+    _solve(options, 'e2e_dual')
+
+
+@pytest.mark.slow
+def test_e2e_drag_mode():
+    """Drag-mode (onboard turbine) power generation
+    (reference drag_mode_trial, test_trials.py:101-111)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.trajectory.system_type'] = 'drag_mode'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 2
+    _solve(options, 'e2e_drag')
+
+
+@pytest.mark.slow
+def test_e2e_actuator_qaxi():
+    """Actuator-disk induction, quasi-steady axisymmetric
+    (reference actuator_qaxi_trial)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.induction_model'] = 'actuator'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    _solve(options, 'e2e_qaxi')
+
+
+@pytest.mark.slow
+def test_e2e_averaged_induction():
+    """Trajectory-averaged induction: theta 'a' + integral momentum
+    constraint (induction_dir/averaged.py + ocp/constraints.py:108-124)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.induction_model'] = 'averaged'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    trial = _solve(options, 'e2e_averaged')
+    a_opt = float(trial.theta_opt()['a'][0])
+    assert 0. <= a_opt <= 0.5
+    # the averaged momentum constraint holds at the solution
+    sl = trial.ocp.eq_slices['avg_induction']
+    res = np.asarray(trial.ocp.eq_fn(trial.solution.V_opt, trial.solution.P))
+    assert abs(res[sl][0]) < 1e-6
+
+
+@pytest.mark.slow
+def test_e2e_poly_controls():
+    """Polynomial control parameterization: u on the collocation nodes
+    (var_struct.py:59-81, path constraints per constraints.py:263-268)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['nlp.collocation.u_param'] = 'poly'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    trial = _solve(options, 'e2e_poly')
+    # controls live on collocation nodes and interpolate smoothly
+    CU = trial.ocp.vstruct.get_coll_u(trial.solution.V_opt)
+    assert CU.shape == (4, 3, trial.ocp.vstruct.nu)
+    plot_dict = trial.interpolate(30)
+    for name, arr in plot_dict['u'].items():
+        assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
+def test_e2e_single_homotopy_method():
+    """'single' compressed homotopy (scheduling.py:37-51,522-540)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['solver.homotopy_method.type'] = 'single'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    trial = _solve(options, 'e2e_single_method')
+    steps = set(trial.solution.step_results)
+    assert any(k.startswith('middle') for k in steps), steps
+
+
+@pytest.mark.slow
+def test_e2e_integral_outputs():
+    """integral_outputs=True: no energy state; avg power from the
+    collocation quadrature of the power output (collocation.py:349)."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['model.integral_outputs'] = True
+    options['nlp.n_k'] = 3
+    options['nlp.collocation.d'] = 2
+    trial = _solve(options, 'e2e_intout')
+    assert not trial.model.layout.has('x', 'e')
+
+
+@pytest.mark.slow
+def test_e2e_reynolds_cd():
+    """Reynolds-dependent tether drag coefficient solves end-to-end."""
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['model.tether.cd_model'] = 'piecewise'
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    _solve(options, 'e2e_recd')

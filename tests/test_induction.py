@@ -14,6 +14,8 @@ from awebox_tpu.model.aero import actuator, induction
 from awebox_tpu.model.builder import make_model
 from tests.test_options import make_ampyx_options
 
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
+
 
 def make_actuator_options(steadyness='quasi-steady', symmetry='axisymmetric'):
     options = make_ampyx_options()

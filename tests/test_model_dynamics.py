@@ -16,6 +16,8 @@ from awebox_tpu.model.builder import make_model
 from awebox_tpu.model.system import PHI_NAMES
 from tests.test_options import make_ampyx_options
 
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
+
 
 @functools.lru_cache(maxsize=None)
 def _build(kind):

@@ -9,6 +9,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
+
 
 @pytest.mark.slow
 def test_dryrun_multichip_8():

@@ -1,0 +1,69 @@
+"""Reference-parity regression: Ampyx AP2 pumping-cycle power and period.
+
+Counterpart of /root/reference/test/reg/test_examples.py:30-44, which runs
+examples/ampyx_ap2_trajectory.py and asserts avg power ~4.7 kW and winding
+period ~35 s within +-20%. Marked `parity` (and slow): run on demand with
+`pytest -m parity`. A smaller grid than the reference's n_k=40 keeps the
+solve tractable in the test budget while staying inside the tolerance band
+(the committed full-size evidence is examples/ampyx_ap2_trajectory.py).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+REFERENCE_POWER_KW = 4.7    # examples/ampyx_ap2_trajectory.py:125-127
+REFERENCE_PERIOD_S = 35.0   # examples/ampyx_ap2_trajectory.py:128-129
+TOLERANCE = 0.20            # test/reg/test_examples.py:30-44
+
+ARTIFACT = os.path.join(os.path.dirname(__file__), 'artifacts',
+                        'ampyx_ap2_parity.json')
+
+
+@pytest.mark.parity
+@pytest.mark.slow
+def test_ampyx_ap2_parity(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
+    import ampyx_ap2_trajectory
+
+    results = ampyx_ap2_trajectory.run(
+        n_k=20, d=3, kite_dof=6, verbose=True,
+        save=str(tmp_path / 'parity_solution.pkl'))
+
+    power = results['avg_power_kw']
+    period = results['winding_period_s']
+    trial = results['trial']
+
+    assert trial.solve_succeeded
+    assert abs(power - REFERENCE_POWER_KW) / REFERENCE_POWER_KW < TOLERANCE, \
+        f'avg power {power:.2f} kW vs reference {REFERENCE_POWER_KW} kW'
+    assert abs(period - REFERENCE_PERIOD_S) / REFERENCE_PERIOD_S < TOLERANCE, \
+        f'period {period:.1f} s vs reference {REFERENCE_PERIOD_S} s'
+
+    # quality gates must pass on the parity solution
+    quality = trial.check_quality(raise_exception=False)
+    failed = [r[0] for r in quality if not r[1]]
+    assert not failed, f'quality checks failed: {failed}'
+
+    # store the parity artifact for control-trajectory comparison
+    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+    u = np.asarray(trial.ocp.vstruct.get_u_all(trial.solution.V_opt))
+    with open(ARTIFACT, 'w') as fh:
+        json.dump({'avg_power_kw': power, 'winding_period_s': period,
+                   'controls_shape': list(u.shape),
+                   'controls_norm': float(np.linalg.norm(u))}, fh, indent=1)
+
+
+@pytest.mark.parity
+def test_parity_artifact_when_present():
+    """If a recorded parity artifact exists, its numbers stay in band."""
+    if not os.path.exists(ARTIFACT):
+        pytest.skip('no recorded parity artifact yet')
+    with open(ARTIFACT) as fh:
+        data = json.load(fh)
+    assert abs(data['avg_power_kw'] - REFERENCE_POWER_KW) / REFERENCE_POWER_KW \
+        < TOLERANCE
+    assert abs(data['winding_period_s'] - REFERENCE_PERIOD_S) / REFERENCE_PERIOD_S \
+        < TOLERANCE

@@ -9,6 +9,9 @@ from awebox_tpu.ocp.structured import make_structured_derivs
 from awebox_tpu.opti import homotopy as hm
 from awebox_tpu.opti.initialization import build_initial_guess, build_reference
 from tests.test_options import make_ampyx_options
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
 
 
 def test_structured_matches_dense():
