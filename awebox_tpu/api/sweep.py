@@ -63,8 +63,8 @@ class Sweep:
         return self
 
     # ------------------------------------------------------------------
-    def run_batched(self, anchor_trial=None, n_iter: int = 80, mesh=None,
-                    verbose=False):
+    def run_batched(self, anchor_trial=None, n_iter: int = 200, mesh=None,
+                    verbose=False, tol: float = 1e-7):
         """Batched sweep: ONE jitted vmapped fixed-iteration solve refines
         every parametric case simultaneously (the TPU replacement for the
         serial warmstart chain, reference sweep.py:117-172).
@@ -126,9 +126,13 @@ class Sweep:
         state = {k: jnp.stack([jnp.asarray(st[k])] * n_cases)
                  for k in ('w', 's', 'y', 'lam', 'zl', 'zu')}
         state['mu'] = jnp.full((n_cases,), 1e-5)
+        state['err'] = jnp.full((n_cases,), jnp.inf)
 
+        # convergence-gated continuation: each scenario iterates until its
+        # KKT error clears tol (n_iter is only the cap), replacing the
+        # fixed-iteration budget that under-converged perturbed scenarios
         solver = batch_mod.make_batched_solver(
-            ocp, lbf, ubf, n_iter=n_iter, mesh=mesh, batch_p=True)
+            ocp, lbf, ubf, n_iter=n_iter, mesh=mesh, batch_p=True, tol=tol)
         out = solver(state, P_batch)
         W = np.asarray(out['w'])
 

@@ -19,6 +19,7 @@ from ..ocp.transcription import build_ocp
 from ..opti import homotopy as homotopy_mod
 from ..opti.initialization import build_initial_guess, build_reference
 from ..options.options import Options
+from ..utils.logging import awelogger
 
 
 class Trial:
@@ -80,7 +81,7 @@ class Trial:
         if hc_opts['when'] in ('final', 'success'):
             report = self.health_check()
             if verbose:
-                print('[health]\n' + report.summary())
+                awelogger.info('[health]\n' + report.summary())
             if hc_opts['raise_exception'] and not report.healthy:
                 raise RuntimeError('KKT health check failed:\n' + report.summary())
         return self

@@ -20,16 +20,28 @@ Cholesky, valid because M is positive definite whenever the regularized KKT
 matrix has the correct inertia (Forsgren-Gill; chol succeeding IS the inertia
 test, replacing MA57's pivoting):
 
-1. interior elimination  - vmapped over intervals (parallel):
-       L_i = chol(M_ii);  Schur updates onto (x_k, x_{k+1}, border)
-2. chain factorization   - block-tridiagonal Cholesky over x_1..x_{n_k}
-   with a border column [x_0, theta, phi] (arrowhead), via lax.scan
-   (n_k sequential steps of nx-by-nx MXU work)
-3. border Cholesky       - small dense factor.
+1. interior elimination  - batched over intervals (parallel): one Cholesky of
+   the (n_k, ni, ni) interior blocks + one batched triangular solve with all
+   coupling columns concatenated; Schur updates onto (x_k, x_{k+1}, border).
+2. reduced bordered chain - the remaining block-tridiagonal-with-arrowhead
+   system over [x_1..x_{n_k} | x_0, theta, phi] is materialized as ONE dense
+   SPD matrix of size (n_k*nx + nb) and factorized by a single batched
+   Cholesky. On TPU this beats an n_k-step scan of tiny (nx,nx) factors by a
+   wide margin: Cholesky/triangular-solve ops are latency-bound at these
+   sizes, so the win is one large op instead of O(n_k) tiny sequential ones;
+   the FLOP count O((n_k*nx)^3) stays negligible against the MXU up to
+   paper-benchmark horizons (n_k=100, d=4 -> ~1.1k reduced dim).
 
-Per-iteration complexity is O(n_k * local^3) instead of dense O((n_k*local)^3),
-memory O(n_k * local^2) instead of O((n_k*local)^2); everything vmaps over a
+Per-iteration complexity is O(n_k * local^3) + O((n_k*nx)^3) instead of dense
+O(n^3) with n = n_k*(local), memory O(n_k * local^2); everything vmaps over a
 scenario batch axis for the parallel sweep path (SURVEY section 5.8).
+
+TPU-native assembly: per-node Hessian/Jacobian blocks are embedded into frame
+coordinates with constant one-hot matrices contracted on the MXU (einsum),
+never with gather/scatter ops; NLP residuals, objective value and gradient
+are assembled from the same per-node local functions (structured.py), so no
+full-horizon eq_fn/f_fn re-evaluation happens inside the iteration
+(VERDICT r2 Weak 1).
 
 The vortex induction model couples intervals through the wake history and is
 not representable here; the solver falls back to the dense path there.
@@ -43,6 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..model.system import PHI_NAMES
 from .structured import make_local_kit
 from .transcription import OCP
 
@@ -99,6 +112,16 @@ def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
             xk_pos(k), off_i + i_xd + ar(nxd), off_i + i_u + ar(nu),
             off_i + i_z + ar(nz), off_g + g_th + ar(ntheta_V),
             off_g + g_phi + ar(nphi)])
+
+    # constant one-hot embedding matrices local -> frame; contraction with
+    # these runs on the MXU instead of the scatter unit
+    E_coll = np.zeros((n_k, d, loc_c, nloc), dtype=np.float64)
+    for k in range(n_k):
+        for j in range(d):
+            E_coll[k, j, ar(loc_c), coll_cols[k, j]] = 1.0
+    E_sh = np.zeros((n_k, loc_s, nloc), dtype=np.float64)
+    for k in range(n_k):
+        E_sh[k, ar(loc_s), sh_cols[k]] = 1.0
 
     # continuity rows: x_{k+1} - cont0*x_k - sum_r cont_r*coll_x[k,r] = 0
     cont = kit.cont
@@ -211,7 +234,6 @@ def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
     own[0, off_g:] = 1.0
 
     # H_glob frame positions (inside the LAST frame): [e(x_{n_k}), t_f, psi]
-    from ..model.system import PHI_NAMES
     e_pos = layout.slices['x']['e'].start
     tf_sl_V = vs.theta_slice('t_f')
     th_off = vs.offsets['theta']
@@ -226,6 +248,7 @@ def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
         off_b=off_b, off_bn=off_bn, off_i=off_i, off_g=off_g,
         n_eq_m=n_eq_m, n_sh=n_sh, n_ineq_m=n_ineq_m, m_rows=m_rows,
         coll_cols=coll_cols, sh_cols=sh_cols,
+        E_coll=E_coll, E_sh=E_sh,
         A_cont=A_cont, A_extra=A_extra, n_extra=n_extra,
         row_gid=row_gid, trash=trash,
         chain_V=chain_V, intr_V=intr_V, border_V=border_V, frame_V=frame_V,
@@ -235,16 +258,23 @@ def build_block_maps(ocp: OCP, kit=None) -> SimpleNamespace:
 
 
 # ---------------------------------------------------------------------------
-# derivative blocks
+# derivative blocks + NLP values assembled from per-node locals
 # ---------------------------------------------------------------------------
 
 def make_block_derivs(ocp: OCP, maps=None) -> Callable:
     """(w, y, lam, P) -> blocks dict with per-node jacobians/hessians and
-    NLP values; never materializes (n_eq x n) or (n x n)."""
+    NLP values; never materializes (n_eq x n) or (n x n), and never
+    re-evaluates the full-horizon eq_fn/ineq_fn/f_fn: residuals, objective
+    and gradient are assembled from the same per-node local functions that
+    produce the derivative blocks (all constraint groups are contiguous in
+    the eq vector, so assembly is pure concatenation)."""
     if maps is None:
         maps = build_block_maps(ocp)
     kit = maps.kit
+    vs = ocp.vstruct
+    layout = ocp.model.layout
     n_k, d = maps.n_k, maps.d
+    nx = maps.nx
     n_eq_m, n_sh, n_ineq_m = maps.n_eq_m, maps.n_sh, maps.n_ineq_m
 
     coll_idx_j = jnp.asarray(kit.coll_idx)
@@ -257,18 +287,84 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
     glob_idx = jnp.asarray(kit.glob_idx)
     eq_slices = ocp.eq_slices
 
-    f_fn, eq_fn, ineq_fn = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
+    cont_j = jnp.asarray(kit.cont)                     # (d+1,)
+    periodic_idx = jnp.asarray(np.asarray(ocp.periodic_idx)) \
+        if ocp.periodic else None
+    radau = kit.radau
+    has_initial_e = 'initial_e' in eq_slices \
+        and eq_slices['initial_e'].stop > eq_slices['initial_e'].start
+    e_sl_x = layout.slices['x']['e'] if layout.has('x', 'e') else None
+
+    # inequality tail: t_f bound rows (linear in the t_f theta entries)
+    single_reelout = ocp.single_reelout and 't_f_bounds' in ocp.ineq_slices
+    if single_reelout:
+        tf_scale = ocp.options['nlp']['phase_fix_reelout']
+        tf_bounds = ocp.options['model']['system_bounds']['theta']['t_f']
+    phi_sl = vs.phi_slice
+    phi_cost_names = list(PHI_NAMES)
 
     def derivs(w, y, lam, P):
         theta0 = P['theta0']
-        fval = f_fn(w, P)
-        gradf = jax.grad(f_fn)(w, P)
-        cE = eq_fn(w, P)
-        cI = ineq_fn(w, P)
 
         coll_locals = w[coll_idx_j]
         sh_locals = w[sh_idx_j]
 
+        # --- residual values from the per-node locals ---------------------
+        r_coll = jax.vmap(kit.coll_eq_local, in_axes=(0, 0, 0, 0, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
+        r_sh = jax.vmap(kit.sh_eq_local, in_axes=(0, 0, None))(
+            sh_locals, sh_phase_ws_j, theta0)
+
+        X = vs.get_x_all(w)                        # (n_k+1, nx)
+        CX = vs.get_coll_x(w)                      # (n_k, d, nx)
+        X_stack = jnp.concatenate([X[:n_k, None, :], CX], axis=1)
+        xf = jnp.einsum('j,kjn->kn', cont_j, X_stack)
+        r_cont = (X[1:] - xf).reshape(-1)
+
+        parts = []
+        if has_initial_e:
+            ref_x0 = vs.get_x_all(P['ref'])[0]
+            parts.append(X[0][e_sl_x] - ref_x0[e_sl_x])
+        parts.append(r_sh.reshape(-1))
+        parts.append(r_coll.reshape(-1))
+        parts.append(r_cont)
+        if ocp.periodic and 'periodic' in eq_slices:
+            terminal = CX[n_k - 1, d - 1] if radau else X[n_k]
+            parts.append((X[0] - terminal)[periodic_idx])
+        cE = jnp.concatenate(parts)
+
+        if n_ineq_m:
+            r_path = jax.vmap(kit.sh_ineq_local, in_axes=(0, 0, None))(
+                sh_locals, sh_phase_ws_j, theta0)
+            cI_parts = [r_path.reshape(-1)]
+        else:
+            cI_parts = [jnp.zeros(0)]
+        if single_reelout:
+            T = ocp.time_period_fn(w)
+            cI_parts.append(jnp.array([(T - tf_bounds[1]) / tf_scale,
+                                       (tf_bounds[0] - T) / tf_scale]))
+        cI = jnp.concatenate(cI_parts)
+
+        # --- objective value + gradient from node costs -------------------
+        ref_vecs = kit.ref_nodes_from_P(P)
+        node_costs = jax.vmap(kit.coll_cost_local,
+                              in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+            ref_vecs, P, theta0)
+        g_nodes = jax.vmap(jax.grad(kit.coll_cost_local),
+                           in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+            ref_vecs, P, theta0)
+        gval, g_glob = jax.value_and_grad(kit.global_cost)(w[glob_idx], P)
+        phi_w = jnp.stack([P['cost'][nm] for nm in phi_cost_names])
+        fval = node_costs.sum() + gval + phi_w @ w[phi_sl]
+
+        gradf = jnp.zeros(kit.n)
+        gradf = gradf.at[coll_idx_j.reshape(-1)].add(g_nodes.reshape(-1))
+        gradf = gradf.at[glob_idx].add(g_glob)
+        gradf = gradf.at[phi_sl].add(phi_w)
+
+        # --- derivative blocks ---------------------------------------------
         J_coll = jax.vmap(jax.jacfwd(kit.coll_eq_local), in_axes=(0, 0, 0, 0, None))(
             coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
         J_sh = jax.vmap(jax.jacfwd(kit.sh_eq_local), in_axes=(0, 0, None))(
@@ -280,7 +376,6 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
 
         lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
         lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
-        ref_vecs = kit.ref_nodes_from_P(P)
 
         H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
                           in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
@@ -296,7 +391,6 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
         H_glob = jax.hessian(kit.global_cost)(w[glob_idx], P)
 
         return dict(fval=fval, gradf=gradf, cE=cE, cI=cI,
-                    J_coll=J_coll.reshape(n_k, d * n_eq_m, -1),
                     J_coll_nodes=J_coll.reshape(n_k, d, n_eq_m, -1),
                     J_sh=J_sh, J_path=J_path,
                     H_coll=H_coll.reshape(n_k, d, H_coll.shape[-1], H_coll.shape[-1]),
@@ -310,7 +404,7 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
 # ---------------------------------------------------------------------------
 
 def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
-                   n_refine: int = 2):
+                   n_refine: int = 1):
     """Returns (derivs_fn, kkt_solve) where kkt_solve mirrors the dense
     primal-dual direction computation of ipsolver._kkt_solve but runs the
     two-level block factorization with an in-jit regularization ladder.
@@ -328,9 +422,10 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
     ob, obn, oi, og = maps.off_b, maps.off_bn, maps.off_i, maps.off_g
     n_eq, n_ineq, n = maps.n_eq, maps.n_ineq, maps.n
     n_sh, n_eq_m, n_ineq_m = maps.n_sh, maps.n_eq_m, maps.n_ineq_m
+    nr = n_k * nx + nb                     # reduced bordered-chain dimension
 
-    coll_cols = jnp.asarray(maps.coll_cols)
-    sh_cols = jnp.asarray(maps.sh_cols)
+    E_coll = jnp.asarray(maps.E_coll)
+    E_sh = jnp.asarray(maps.E_sh)
     A_cont = jnp.asarray(maps.A_cont)
     A_extra = jnp.asarray(maps.A_extra)
     row_gid = jnp.asarray(maps.row_gid)
@@ -343,40 +438,22 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
 
     st = jax.scipy.linalg.solve_triangular
     diag_idx = jnp.arange(nloc)
-
-    def scatter_frame(Hc_k, Hs_k, ccols_k, scols_k):
-        F = jnp.zeros((nloc, nloc))
-        for j in range(d):
-            cj = ccols_k[j]
-            F = F.at[cj[:, None], cj[None, :]].add(Hc_k[j])
-        F = F.at[scols_k[:, None], scols_k[None, :]].add(Hs_k)
-        return F
+    karo = jnp.arange(n_k)
 
     def build_A_frame(blocks):
-        """(n_k, m_rows, nloc) constraint jacobian in frame coordinates."""
+        """(n_k, m_rows, nloc) constraint jacobian in frame coordinates,
+        via one-hot embedding matmuls (MXU) instead of scatters."""
         J_coll_nodes = blocks['J_coll_nodes']      # (n_k, d, n_eq_m, loc_c)
         J_sh = blocks['J_sh']                      # (n_k, n_sh, loc_s)
         J_path = blocks['J_path']                  # (n_k, n_ineq_m, loc_s)
 
-        if J_path is None:
-            J_path = jnp.zeros((n_k, 0, sh_cols.shape[1]))
-
-        def one(Jc_k, Js_k, Jp_k, ccols_k, scols_k, Ac_k, Ae_k):
-            rows = []
-            As = jnp.zeros((n_sh, nloc)).at[:, scols_k].add(Js_k)
-            rows.append(As)
-            for j in range(d):
-                Acj = jnp.zeros((n_eq_m, nloc)).at[:, ccols_k[j]].add(Jc_k[j])
-                rows.append(Acj)
-            rows.append(Ac_k)
-            if n_ineq_m:
-                Ap = jnp.zeros((n_ineq_m, nloc)).at[:, scols_k].add(Jp_k)
-                rows.append(Ap)
-            rows.append(Ae_k)
-            return jnp.concatenate(rows, axis=0)
-
-        return jax.vmap(one)(J_coll_nodes, J_sh, J_path, coll_cols,
-                             sh_cols, A_cont, A_extra)
+        As = jnp.einsum('krl,klA->krA', J_sh, E_sh)
+        Ac = jnp.einsum('kjrl,kjlA->kjrA', J_coll_nodes, E_coll)
+        rows = [As, Ac.reshape(n_k, d * n_eq_m, nloc), A_cont]
+        if n_ineq_m:
+            rows.append(jnp.einsum('krl,klA->krA', J_path, E_sh))
+        rows.append(A_extra)
+        return jnp.concatenate(rows, axis=1)
 
     def assemble(blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
                  delta_c, delta_ce):
@@ -407,14 +484,16 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         A = jnp.where(jnp.isfinite(A), A, 0.)
         A = A * free_frame[:, None, :]
 
-        # --- frame assembly: H scatters + sigma + mask + A^T D^-1 A --------
+        # --- frame assembly: H embeds (MXU) + sigma + mask + A^T D^-1 A ----
         Hc = jnp.where(jnp.isfinite(blocks['H_coll']), blocks['H_coll'], 0.)
         Hs = jnp.where(jnp.isfinite(blocks['H_sh']), blocks['H_sh'], 0.)
-        Frame = jax.vmap(scatter_frame)(Hc, Hs, coll_cols, sh_cols)
+        HcE = jnp.einsum('kjab,kjbB->kjaB', Hc, E_coll)
+        Frame = jnp.einsum('kjaB,kjaA->kAB', HcE, E_coll)
+        HsE = jnp.einsum('kab,kbB->kaB', Hs, E_sh)
+        Frame = Frame + jnp.einsum('kaB,kaA->kAB', HsE, E_sh)
         Hg = jnp.where(jnp.isfinite(blocks['H_glob']), blocks['H_glob'], 0.)
         Frame = Frame.at[n_k - 1, glob_frame[:, None], glob_frame[None, :]].add(Hg)
 
-        diag_idx = jnp.arange(nloc)
         Frame = Frame.at[:, diag_idx, diag_idx].add(own * sigma[frame_V])
         Frame = Frame * (free_frame[:, :, None] * free_frame[:, None, :])
         Frame = Frame.at[:, diag_idx, diag_idx].add(own * (1. - free[frame_V]))
@@ -445,69 +524,58 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
         own_free = own * free[frame_V]      # delta_w goes on free owners only
 
         # --- two-level factorization with in-jit delta ladder ---------------
+        c2 = 2 * nx                      # coupling layout [x_k | x_{k+1} | g]
+        assert ob == 0 and obn == nx and og == c2 + ni
+
         def factor(delta):
             dfree = delta * own_free
             Fr = Frame.at[:, diag_idx, diag_idx].add(dfree)
 
             Mii = Fr[:, oi:oi + ni, oi:oi + ni]
-            Mib = Fr[:, oi:oi + ni, ob:ob + nx]
-            Mibn = Fr[:, oi:oi + ni, obn:obn + nx]
-            Mig = Fr[:, oi:oi + ni, og:og + nb]
-            bb = Fr[:, ob:ob + nx, ob:ob + nx]
-            bnbn = Fr[:, obn:obn + nx, obn:obn + nx]
-            bbn = Fr[:, ob:ob + nx, obn:obn + nx]
-            bg = Fr[:, ob:ob + nx, og:og + nb]
-            bng = Fr[:, obn:obn + nx, og:og + nb]
-            gg = jnp.sum(Fr[:, og:og + nb, og:og + nb], axis=0)
+            # all coupling columns in one batched triangular solve and ONE
+            # fused Schur product (dispatch-bound op count matters here)
+            Mi = Fr[:, oi:oi + ni]
+            Mic = jnp.concatenate([Mi[:, :, :c2], Mi[:, :, og:]], axis=2)
+            Fcr = jnp.concatenate([Fr[:, :c2], Fr[:, og:]], axis=1)
+            Fcc = jnp.concatenate([Fcr[:, :, :c2], Fcr[:, :, og:]], axis=2)
 
             # 1. interior elimination (parallel over intervals)
             Li = jnp.linalg.cholesky(Mii)
-            Xb = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mib)
-            Xbn = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mibn)
-            Xg = jax.vmap(lambda L, B: st(L, B, lower=True))(Li, Mig)
+            Xc = st(Li, Mic, lower=True)            # (n_k, ni, 2nx+nb)
+            Xb = Xc[:, :, :nx]
+            Xbn = Xc[:, :, nx:c2]
+            Xg = Xc[:, :, c2:]
 
-            bb_s = bb - jnp.einsum('kij,kil->kjl', Xb, Xb)
-            bnbn_s = bnbn - jnp.einsum('kij,kil->kjl', Xbn, Xbn)
-            bbn_s = bbn - jnp.einsum('kij,kil->kjl', Xb, Xbn)
-            bg_s = bg - jnp.einsum('kij,kil->kjl', Xb, Xg)
-            bng_s = bng - jnp.einsum('kij,kil->kjl', Xbn, Xg)
-            gg_s = gg - jnp.einsum('kij,kil->jl', Xg, Xg)
+            S = Fcc - jnp.einsum('kic,kid->kcd', Xc, Xc)
+            bb_s = S[:, :nx, :nx]
+            bnbn_s = S[:, nx:c2, nx:c2]
+            bbn_s = S[:, :nx, nx:c2]
+            bg_s = S[:, :nx, c2:]
+            bng_s = S[:, nx:c2, c2:]
+            gg_s = jnp.sum(S[:, c2:, c2:], axis=0)
 
-            # 2. chain containers: T_diag[j] ~ x_{j+1}
+            # 2. reduced bordered chain, materialized dense: unknowns
+            # [x_1..x_{n_k} | border]; T_diag[j] couples x_{j+1} with itself,
+            # T_off[j] couples x_{j+1} with x_{j+2}
             T_diag = bnbn_s + jnp.concatenate(
                 [bb_s[1:], jnp.zeros((1, nx, nx))], axis=0)
-            T_off = bbn_s[1:]                       # (n_k-1, nx, nx): (x_j+1, x_j+2)
+            T_off = bbn_s[1:]                       # (n_k-1, nx, nx)
             Fb = bng_s + jnp.concatenate(
                 [bg_s[1:], jnp.zeros((1, nx, nb))], axis=0)
-            G = gg_s
 
-            # block-tridiagonal Cholesky with border, scan over the chain
-            T_off_pad = jnp.concatenate([T_off, jnp.zeros((1, nx, nx))], axis=0)
+            Rc = jnp.zeros((n_k, nx, n_k, nx))
+            Rc = Rc.at[karo, :, karo, :].set(T_diag)
+            if n_k > 1:
+                Rc = Rc.at[karo[:-1], :, karo[1:], :].set(T_off)
+                Rc = Rc.at[karo[1:], :, karo[:-1], :].set(
+                    jnp.swapaxes(T_off, -1, -2))
+            Rc = Rc.reshape(n_k * nx, n_k * nx)
+            Fb_r = Fb.reshape(n_k * nx, nb)
+            R = jnp.block([[Rc, Fb_r], [Fb_r.T, gg_s]])
 
-            def chain_step(carry, inp):
-                X_prev, B_prev, S = carry           # X_prev = L_{j,j-1}^T
-                T_jj, T_jn, F_j = inp
-                L_j = jnp.linalg.cholesky(T_jj - X_prev.T @ X_prev)
-                # L_{j+1,j}^T = L_j^-1 T_{j,j+1}
-                X_j = st(L_j, T_jn, lower=True)
-                # border row: L_{g,j} = (F_j^T - B_prev X_prev) L_j^-T
-                Bj_rhs = F_j.T - B_prev @ X_prev
-                B_j = st(L_j, Bj_rhs.T, lower=True).T
-                S = S + B_j @ B_j.T
-                return (X_j, B_j, S), (L_j, X_prev, B_j)
-
-            (X_last, B_last, S), (L_chain, X_chain, B_chain) = jax.lax.scan(
-                chain_step,
-                (jnp.zeros((nx, nx)), jnp.zeros((nb, nx)), jnp.zeros((nb, nb))),
-                (T_diag, T_off_pad, Fb))
-
-            L_gg = jnp.linalg.cholesky(G - S)
-
-            ok = (jnp.all(jnp.isfinite(Li)) & jnp.all(jnp.isfinite(L_chain))
-                  & jnp.all(jnp.isfinite(L_gg)))
-            return dict(Li=Li, Xb=Xb, Xbn=Xbn, Xg=Xg,
-                        L_chain=L_chain, X_chain=X_chain, B_chain=B_chain,
-                        L_gg=L_gg, ok=ok)
+            L_R = jnp.linalg.cholesky(R)
+            ok = jnp.all(jnp.isfinite(Li)) & jnp.all(jnp.isfinite(L_R))
+            return dict(Li=Li, Xb=Xb, Xbn=Xbn, Xg=Xg, L_R=L_R, ok=ok)
 
         fac0 = factor(delta_w)
 
@@ -530,7 +598,7 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             r_bord = rhs[border_V]              # (nb,)
 
             # interior forward elimination
-            t = jax.vmap(lambda L, b: st(L, b, lower=True))(fac['Li'], r_intr)
+            t = st(fac['Li'], r_intr[:, :, None], lower=True)[:, :, 0]
             # chain rhs updates: chain j gets Xbn[j]^T t[j] + Xb[j+1]^T t[j+1]
             upd = jnp.einsum('kij,ki->kj', fac['Xbn'], t)
             upd_b = jnp.einsum('kij,ki->kj', fac['Xb'], t)
@@ -538,38 +606,20 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             r_chain = r_chain.at[:-1].add(-upd_b[1:])
             r_bord = r_bord - jnp.einsum('kij,ki->j', fac['Xg'], t)
 
-            # chain forward: u_j = L_j^-1 (r_j - L_{j,j-1} u_{j-1})
-            def fwd(carry, inp):
-                u_prev = carry
-                L_j, X_prev, r_j = inp
-                u_j = st(L_j, r_j - X_prev.T @ u_prev, lower=True)
-                return u_j, u_j
-            _, u = jax.lax.scan(fwd, jnp.zeros(nx),
-                                (fac['L_chain'], fac['X_chain'], r_chain))
-            u_g = st(fac['L_gg'],
-                     r_bord - jnp.einsum('kij,kj->i', fac['B_chain'], u),
-                     lower=True)
-
-            # backward: x_g then chain reverse
-            x_g = st(fac['L_gg'].T, u_g, lower=False)
-            X_next = jnp.concatenate([fac['X_chain'][1:],
-                                      jnp.zeros((1, nx, nx))], axis=0)
-
-            def bwd(carry, inp):
-                x_next = carry
-                L_j, X_j, B_j, u_j = inp
-                x_j = st(L_j.T, u_j - X_j @ x_next - B_j.T @ x_g, lower=False)
-                return x_j, x_j
-            _, x_chain = jax.lax.scan(
-                bwd, jnp.zeros(nx),
-                (fac['L_chain'], X_next, fac['B_chain'], u), reverse=True)
+            # reduced bordered-chain solve: one dense Cholesky pair
+            rhs_red = jnp.concatenate([r_chain.reshape(-1), r_bord])
+            u = st(fac['L_R'], rhs_red, lower=True)
+            xr = st(fac['L_R'].T, u, lower=False)
+            x_chain = xr[:n_k * nx].reshape(n_k, nx)
+            x_g = xr[n_k * nx:]
 
             # interior back substitution
             xb_full = jnp.concatenate([x_g[None, :nx], x_chain[:-1]], axis=0)
             rhs_i = t - jnp.einsum('kij,kj->ki', fac['Xb'], xb_full) \
                 - jnp.einsum('kij,kj->ki', fac['Xbn'], x_chain) \
                 - jnp.einsum('kij,j->ki', fac['Xg'], x_g)
-            x_intr = jax.vmap(lambda L, b: st(L.T, b, lower=False))(fac['Li'], rhs_i)
+            x_intr = st(fac['Li'], rhs_i[:, :, None], lower=True,
+                        trans=1)[:, :, 0]
 
             out = jnp.zeros(n)
             out = out.at[chain_V.reshape(-1)].set(x_chain.reshape(-1))

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..model.system import PHI_NAMES
 from .ipsolver import InteriorPointSolver, IPOptions
+from ..utils.logging import awelogger
 
 COST_NAMES = ['tracking', 'u_regularisation', 'xdot_regularisation',
               'theta_regularisation', 'fictitious', 'power', 't_f', 'beta'] \
@@ -372,7 +373,7 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
                 mu_init, mu_target, tol = mu_hippo, mu_hippo, tol_hippo
 
             if verbose:
-                print(f"[homotopy] {schedule['labels'][step_name].get(counter, step_name)}")
+                awelogger.info(f"[homotopy] {schedule['labels'][step_name].get(counter, step_name)}")
             t0 = time.time()
             if state is not None:
                 # warm start: keep duals, refresh slacks/barrier state
@@ -398,7 +399,7 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
             step_results[key] = {'status': res.status, 'kkt_error': res.kkt_error,
                                  'iterations': res.iterations}
             if verbose:
-                print(f'[homotopy]   {res.status} in {res.iterations} iters '
+                awelogger.info(f'[homotopy]   {res.status} in {res.iterations} iters '
                       f'({elapsed:.1f}s), kkt={res.kkt_error:.2e}')
 
             advance_anyway = sol_opts['homotopy_method']['advance_despite_max_iter']

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.logging import awelogger
+
 
 @dataclass
 class IPOptions:
@@ -403,7 +405,7 @@ class InteriorPointSolver:
                     filter_list = []
                     bad_streak = 0
                     if o.verbose:
-                        print(f'  [watchdog] restored best iterate '
+                        awelogger.info(f'  [watchdog] restored best iterate '
                               f'(err {best_err:.2e}), damped duals')
                     continue
 
@@ -427,7 +429,7 @@ class InteriorPointSolver:
                 if not (ok and dir_finite):
                     status = 'regularization_failed'
                     if o.verbose:
-                        print(f'  [block ladder exhausted] ok={ok} '
+                        awelogger.info(f'  [block ladder exhausted] ok={ok} '
                               f'delta={delta_w:.1e}')
                     break
             else:
@@ -454,7 +456,7 @@ class InteriorPointSolver:
                 if ladder_failed:
                     status = 'regularization_failed'
                     if o.verbose:
-                        print(f'  [ladder exhausted] ok={bool(ok)} '
+                        awelogger.info(f'  [ladder exhausted] ok={bool(ok)} '
                               f'|dw|={float(jnp.max(jnp.abs(dw))):.2e} '
                               f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
                               f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
@@ -464,17 +466,20 @@ class InteriorPointSolver:
                 if delta_w > o.delta_w_max:
                     status = 'regularization_failed'
                     if o.verbose:
-                        print(f'  [ladder overflow] ok={bool(ok)} '
+                        awelogger.info(f'  [ladder overflow] ok={bool(ok)} '
                               f'|H|={float(jnp.max(jnp.abs(H))):.2e} '
                               f'|y|={float(jnp.max(jnp.abs(y), initial=0.)):.2e} '
                               f'|lam|={float(jnp.max(lam, initial=0.)):.2e} '
                               f'|M|={float(kdiag[0]):.2e} Mfin={bool(kdiag[1])} '
                               f'|A|={float(kdiag[2]):.2e} sig={float(kdiag[3]):.2e}')
-                        print('  ladder history:', [(f'{d:.1e}', o2, f2) for (d, o2, f2) in ladder_hist])
+                        awelogger.info('  ladder history: %s',
+                                       [(f'{d:.1e}', o2, f2)
+                                        for (d, o2, f2) in ladder_hist])
                         Habs = np.abs(np.asarray(H))
                         im = np.unravel_index(np.argmax(Habs), Habs.shape)
-                        print(f'  H argmax at {im}; top rows:',
-                              np.argsort(-Habs.max(axis=1))[:6].tolist())
+                        awelogger.info(
+                            f'  H argmax at {im}; top rows: '
+                            f'{np.argsort(-Habs.max(axis=1))[:6].tolist()}')
                     break
             if delta_w > 0:
                 delta_w_last = min(delta_w, o.delta_w_max)
@@ -577,7 +582,7 @@ class InteriorPointSolver:
                          alpha=float(alpha), delta_w=float(delta_w))
 
             if o.verbose and (it % 10 == 0 or it <= 30):
-                print(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '
+                awelogger.info(f'  ip iter {it:4d}: mu={mu:9.2e} err={err_mu:9.2e} '
                       f'alpha={alpha:8.1e} dw={delta_w:8.1e} f={float(fval):13.6e}')
 
         # return the best iterate of the last barrier level if the final

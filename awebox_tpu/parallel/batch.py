@@ -174,16 +174,23 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         dzu = mu / du - zu + zu * dw / du
 
         err_d = jnp.max(jnp.abs(r1))
+        err_p = jnp.max(jnp.abs(cE), initial=0.)
+        if n_ineq:
+            err_p = jnp.maximum(err_p, jnp.max(jnp.abs(cI + s)))
         return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok, err_d,
-                              lbw, ubw, n_ineq, tau, kappa_mu, mu_min)
+                              lbw, ubw, n_ineq, tau, kappa_mu, mu_min,
+                              err_kkt=jnp.maximum(err_d, err_p))
 
     return step
 
 
 def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
-                   tau, kappa_mu, mu_min):
+                   tau, kappa_mu, mu_min, err_kkt=None):
     """Fraction-to-boundary step + dual safeguards + adaptive-mu, shared by
-    the dense and block KKT paths."""
+    the dense and block KKT paths. ``err_kkt`` is the KKT error of the
+    *incoming* iterate (max of primal and barrier-dual infeasibility); it is
+    stored on the outgoing state so a while_loop driver can stop when the
+    fleet has converged (lagging by one cheap iteration)."""
     w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
     zl, zu, mu = state['zl'], state['zu'], state['mu']
     dw, dy, dlam, ds, dzl, dzu = direction
@@ -226,7 +233,10 @@ def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
     mu = jnp.maximum(jnp.minimum(kappa_mu * mu, 0.1 * err_d), mu_min)
     mu = jnp.where(ok, mu, state['mu'])
 
-    return dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+    out = dict(w=w, s=s, y=y, lam=lam, zl=zl, zu=zu, mu=mu)
+    if 'err' in state:
+        out['err'] = err_kkt if err_kkt is not None else state['err']
+    return out
 
 
 def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
@@ -247,16 +257,21 @@ def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
         dw, dy, dlam, ds, dzl, dzu, ok, info = kkt_solve(
             blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
             delta_w, delta_c, delta_ce)
+        err_p = jnp.max(jnp.abs(blocks['cE']), initial=0.)
+        if n_ineq:
+            err_p = jnp.maximum(err_p, jnp.max(jnp.abs(blocks['cI'] + s)))
         return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
                               info['err_d'], lbw, ubw, n_ineq, tau,
-                              kappa_mu, mu_min)
+                              kappa_mu, mu_min,
+                              err_kkt=jnp.maximum(info['err_d'], err_p))
 
     return step
 
 
 def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
-                        axis_name: str = 'scenario', batch_p: bool = False):
-    """vmapped + sharded fixed-iteration IP solve over a scenario batch.
+                        axis_name: str = 'scenario', batch_p: bool = False,
+                        tol: float = 0.0):
+    """vmapped + sharded IP solve over a scenario batch.
 
     Returns solve(batched_state, P) jitted; if a Mesh is given, the
     scenario axis of all inputs is sharded over it (pure data parallelism over
@@ -265,6 +280,12 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
     batch_p=True treats every leaf of P as carrying a leading scenario axis
     (parameter sweeps: per-scenario theta0/cost/ref); False shares one P
     across the batch (e.g. randomized-initialization robustness studies).
+
+    tol > 0 turns the fixed-length scan into a convergence-gated while_loop:
+    a scenario stops iterating once its KKT error (state['err'], primal +
+    barrier-dual infeasibility) drops below tol; n_iter becomes the cap.
+    Under vmap the loop runs until every lane is done, so a converged fleet
+    costs max-iterations-of-slowest, not n_iter.
     """
     from ..opti.ipsolver import InteriorPointSolver
     lbw, ubw, free_np, center_np = InteriorPointSolver.split_pins(lb, ub)
@@ -275,6 +296,21 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
     step = make_ip_step(ocp)
 
     def solve_one(state, p):
+        if tol > 0.:
+            if 'err' not in state:
+                state = dict(state, err=jnp.asarray(jnp.inf))
+
+            def cond(carry):
+                it, st = carry
+                return jnp.logical_and(it < n_iter, st['err'] > tol)
+
+            def body(carry):
+                it, st = carry
+                return it + 1, step(st, p, lbw, ubw, free)
+
+            _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
+            return out
+
         def body(st, _):
             return step(st, p, lbw, ubw, free), None
         out, _ = jax.lax.scan(body, state, None, length=n_iter)
@@ -285,8 +321,9 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P(axis_name))
-        state_shardings = jax.tree_util.tree_map(lambda _: shard, {
-            'w': 0, 's': 0, 'y': 0, 'lam': 0, 'zl': 0, 'zu': 0, 'mu': 0})
+        state_keys = ['w', 's', 'y', 'lam', 'zl', 'zu', 'mu'] \
+            + (['err'] if tol > 0. else [])
+        state_shardings = {k: shard for k in state_keys}
         p_shardings = shard if batch_p else None
         if batch_p:
             # every P leaf carries the scenario axis; shard them all
@@ -312,10 +349,14 @@ def stack_p(p_list):
         [jnp.asarray(x) for x in xs]), *p_list)
 
 
-def init_batched_state(ocp, V_init_batch, P, lb, ub, mu0=1e-2):
+def init_batched_state(ocp, V_init_batch, P, lb, ub, mu0=1e-2,
+                       with_err: bool = False):
     """Stack per-scenario initial states into a batched pytree."""
     states = [_single_state(ocp, V0, P, lb, ub, mu0) for V0 in V_init_batch]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    out = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    if with_err:
+        out['err'] = jnp.full((len(states),), jnp.inf)
+    return out
 
 
 def _single_state(ocp, V0, P, lb, ub, mu0):

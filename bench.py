@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: batched scenario interior-point throughput on one chip.
+"""Benchmark: batched converged wind-sweep solves/s on one chip.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The north-star target (BASELINE.md) is >= 1000 batched scenario solves/s on a
-v5p host. A converged homotopy solve costs on the order of 150 IP iterations,
-so the equivalent iteration-throughput target is ~150k iter/s; vs_baseline
-reports measured batched iterations/s against that.
+v5p host. The measured workload is the production sweep pattern
+(SURVEY section 2.10.5): B wind scenarios (u_ref spread +-10%) continue from
+a committed fully-homotopy-solved anchor (tests/artifacts/, produced by
+benchmarks/make_bench_anchor.py on CPU f64) to their own converged optima at
+final homotopy weights. A scenario counts as SOLVED when its in-jit KKT error
+(primal + barrier-dual infeasibility, parallel/batch.py) clears TOL and its
+dynamics residual verifies below VERIFY_TOL in a separate full-horizon check.
+vs_baseline = converged solves/s / 1000.
+
+Also reported in `unit`: batched IP iterations/s, achieved FLOP/s and an MFU
+estimate from XLA's cost analysis against the chip's bf16 peak, and compile
+time.
 
 Robustness contract: a JSON line is printed even if compilation exceeds the
 driver budget (SIGALRM fallback) — the fallback carries value 0 so a timeout
@@ -24,6 +33,12 @@ import numpy as np
 DEADLINE_S = int(os.environ.get('BENCH_DEADLINE_S', '1500'))
 _progress = {'stage': 'startup'}
 
+B = int(os.environ.get('BENCH_B', '256'))
+N_ITER_CAP = int(os.environ.get('BENCH_N_ITER', '200'))
+ANCHOR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'tests', 'artifacts', 'bench_anchor_nk8_d3.npz')
+PEAK_FLOPS = 197e12    # TPU v5e bf16 peak; f32 runs below this — MFU is a floor
+
 
 def _emit(payload):
     print(json.dumps(payload), flush=True)
@@ -31,9 +46,9 @@ def _emit(payload):
 
 def _fallback(signum, frame):
     _emit({
-        'metric': 'batched_scenario_ip_iter_per_s',
+        'metric': 'batched_converged_solves_per_s',
         'value': 0.0,
-        'unit': f"iter/s (deadline {DEADLINE_S}s hit at stage: {_progress['stage']})",
+        'unit': f"solves/s (deadline {DEADLINE_S}s hit at stage: {_progress['stage']})",
         'vs_baseline': 0.0,
     })
     os._exit(0)
@@ -44,10 +59,8 @@ def main():
     signal.alarm(DEADLINE_S)
 
     import jax
+    import jax.numpy as jnp
 
-    # Persistent compilation cache: the model's Lagrangian autodiff chains are
-    # expensive to compile (3rd/4th-order AD); repeat runs on this host reuse
-    # the compiled executables.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
@@ -55,14 +68,16 @@ def main():
     except Exception:
         pass
 
-    # The fixed-iteration batched path is the TPU throughput path: f32 feeds
-    # the MXU natively (f64 on TPU is software-emulated and not viable for
-    # production throughput; the robust host-driven solver runs f64 on CPU).
+    # The batched path is the TPU throughput path: f32 feeds the MXU natively
+    # (f64 on TPU is software-emulated; the robust host-driven solver runs
+    # f64 on CPU for the anchor).
     accel = jax.devices()[0]
     on_tpu = accel.platform != 'cpu'
     if not on_tpu:
         jax.config.update('jax_enable_x64', True)
     dtype = 'float32' if on_tpu else 'float64'
+    tol = 5e-4 if on_tpu else 1e-6
+    verify_tol = 1e-3 if on_tpu else 1e-5
 
     try:
         cpu = jax.devices('cpu')[0]
@@ -71,76 +86,131 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from awebox_tpu.api.trial import Trial
-    from awebox_tpu.options.options import Options
-    from awebox_tpu.options.kite_data import ampyx_ap2_settings
-    from awebox_tpu.opti.homotopy import build_p_fix, define_schedule, set_initial_bounds
+    from awebox_tpu.opti.homotopy import (build_p_fix, final_bounds,
+                                          final_cost_values)
     from awebox_tpu.opti.initialization import build_initial_guess, build_reference
-    from awebox_tpu.parallel.batch import init_batched_state, make_batched_solver
+    from awebox_tpu.parallel.batch import make_batched_solver, stack_p
 
-    options = Options()
-    ampyx_ap2_settings.set_ampyx_ap2_settings(options)
-    options['user_options.system_model.architecture'] = {1: 0}
-    options['user_options.system_model.kite_dof'] = 3
-    options['user_options.trajectory.type'] = 'power_cycle'
-    options['user_options.wind.model'] = 'power'
-    options['user_options.wind.u_ref'] = 10.
-    options['params.wind.z_ref'] = 100.0
-    options['user_options.trajectory.lift_mode.phase_fix'] = 'simple'
-    options['nlp.n_k'] = 8
-    options['nlp.collocation.d'] = 3
-
-    # construction (structural scans, initial guesses) runs on host CPU; the
-    # benchmark computation itself runs on the accelerator
     _progress['stage'] = 'trial build'
-    with jax.default_device(cpu):
-        trial = Trial(options, 'bench').build()
-        ocp = trial.ocp
-        V0 = build_initial_guess(ocp)
-        P = build_p_fix(ocp, build_reference(ocp, V0))
-        schedule = define_schedule(ocp)
-        lb, ub = set_initial_bounds(ocp, trial.lb_nominal, trial.ub_nominal, V0, schedule)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    'benchmarks'))
+    from make_bench_anchor import bench_options
 
-        B = 16
-        n_iter = 10
-        rng = np.random.default_rng(0)
-        batch = [V0 + 1e-3 * rng.normal(size=V0.shape) for _ in range(B)]
-        _progress['stage'] = 'batched state init'
-        state = init_batched_state(ocp, batch, P, lb, ub)
+    with jax.default_device(cpu):
+        trial = Trial(bench_options(), 'bench').build()
+        ocp = trial.ocp
+
+        if not os.path.exists(ANCHOR):
+            _emit({'metric': 'batched_converged_solves_per_s', 'value': 0.0,
+                   'unit': 'solves/s (missing committed anchor artifact '
+                           'tests/artifacts/bench_anchor_nk8_d3.npz; run '
+                           'benchmarks/make_bench_anchor.py)',
+                   'vs_baseline': 0.0})
+            return
+        anchor = np.load(ANCHOR)
+
+        V0 = build_initial_guess(ocp)
+        base_P = build_p_fix(ocp, build_reference(ocp, V0))
+        lbf, ubf = final_bounds(ocp, trial.lb_nominal, trial.ub_nominal,
+                                np.asarray(V0))
+        # refine under the same bound relaxation the host solver used at the
+        # anchor (active-set iterates sit ON the relaxed bounds)
+        relax = 1e-8
+        fin_l = np.isfinite(lbf) & (lbf != ubf)
+        fin_u = np.isfinite(ubf) & (lbf != ubf)
+        lbf = np.where(fin_l, lbf - relax * np.maximum(1., np.abs(lbf)), lbf)
+        ubf = np.where(fin_u, ubf + relax * np.maximum(1., np.abs(ubf)), ubf)
+        fc = final_cost_values(ocp)
+
+        _progress['stage'] = 'scenario setup'
+        import copy as _copy
+        u_refs = 10.0 * (1.0 + 0.1 * np.linspace(-1., 1., B))
+        p_list = []
+        for u in u_refs:
+            theta0 = _copy.deepcopy(jax.tree_util.tree_map(
+                np.asarray, base_P['theta0']))
+            theta0['wind']['u_ref'] = np.asarray(float(u))
+            p_list.append({'cost': {k: jnp.asarray(fc[k]) for k in fc},
+                           'ref': base_P['ref'], 'weights': base_P['weights'],
+                           'theta0': theta0})
+        P_batch = stack_p(p_list)
+
+        state = {k: jnp.stack([jnp.asarray(anchor[k])] * B)
+                 for k in ('w', 's', 'y', 'lam', 'zl', 'zu')}
+        state['mu'] = jnp.full((B,), 1e-5)
+        state['err'] = jnp.full((B,), np.inf)
 
     def to_accel(x):
-        return jax.device_put(x, accel)
+        return jax.device_put(jnp.asarray(x), accel)
 
     state = jax.tree_util.tree_map(to_accel, state)
-    P = jax.tree_util.tree_map(to_accel, P)
-    solve = make_batched_solver(ocp, lb, ub, n_iter=n_iter)
+    P_batch = jax.tree_util.tree_map(to_accel, P_batch)
+    solve = make_batched_solver(ocp, lbf, ubf, n_iter=N_ITER_CAP,
+                                batch_p=True, tol=tol)
 
-    # compile + warm up
     _progress['stage'] = 'XLA compile of batched solver'
     print('# compiling...', file=sys.stderr, flush=True)
     t_c = time.time()
-    out = solve(state, P)
+    out = solve(state, P_batch)
     jax.block_until_ready(out)
     compile_s = time.time() - t_c
     print(f'# compile {compile_s:.1f}s', file=sys.stderr, flush=True)
 
-    _progress['stage'] = 'timed iterations'
-    t0 = time.time()
+    # FLOP estimate of one solve call from XLA cost analysis (best effort)
+    flops_per_call = None
+    try:
+        cost = solve.lower(state, P_batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_call = float(cost.get('flops', 0.)) or None
+    except Exception:
+        pass
+
+    _progress['stage'] = 'timed solves'
     reps = 3
+    t0 = time.time()
     for _ in range(reps):
-        out = solve(out, P)
+        out = solve(state, P_batch)
     jax.block_until_ready(out)
     elapsed = time.time() - t0
+    per_call = elapsed / reps
 
-    finite = bool(np.isfinite(np.asarray(out['w'])).all())
-    iters_per_s = B * n_iter * reps / elapsed if finite else 0.0
-    target = 150_000.0
+    # convergence accounting: in-jit KKT error + full-horizon verification
+    _progress['stage'] = 'verification'
+    err = np.asarray(out['err'])
+    W = np.asarray(out['w'])
+    eq_batched = jax.jit(jax.vmap(ocp.eq_fn, in_axes=(0, 0)))
+    eq_res = np.max(np.abs(np.asarray(eq_batched(out['w'], P_batch))), axis=1)
+    finite = np.isfinite(W).all(axis=1)
+    converged = finite & (err <= tol * 1.01) & (eq_res <= verify_tol)
+    n_conv = int(converged.sum())
+
+    solves_per_s = n_conv / per_call
+    achieved_flops = (flops_per_call / per_call) if flops_per_call else 0.0
+    mfu = achieved_flops / PEAK_FLOPS
+
+    # converged-scenario powers for sanity (watts)
+    powers = []
+    for i in range(0, B, max(B // 8, 1)):
+        if converged[i]:
+            P_i = jax.tree_util.tree_map(lambda x, i=i: x[i], P_batch)
+            T = float(ocp.time_period_fn(W[i]))
+            powers.append(float(ocp.e_final_si_fn(W[i], P_i)) / T)
+    p_lo = min(powers) if powers else float('nan')
+    p_hi = max(powers) if powers else float('nan')
+
+    target = 1000.0
     signal.alarm(0)
     _emit({
-        'metric': 'batched_scenario_ip_iter_per_s',
-        'value': round(float(iters_per_s), 2),
-        'unit': f'iter/s (B={B}, ampyx 3dof n_k=8, {dtype}, '
-                f'compile {compile_s:.0f}s, finite={finite})',
-        'vs_baseline': round(float(iters_per_s) / target, 5),
+        'metric': 'batched_converged_solves_per_s',
+        'value': round(float(solves_per_s), 2),
+        'unit': (f'solves/s (B={B}, converged {n_conv}/{B} to kkt<={tol:g} '
+                 f'+ eq<={verify_tol:g}, ampyx 3dof n_k=8 d=3 wind sweep '
+                 f'+-10%, {dtype}, {per_call*1e3:.0f} ms/call, '
+                 f'compile {compile_s:.0f}s, '
+                 f'{achieved_flops/1e12:.2f} TFLOP/s, MFU~{mfu*100:.1f}% of '
+                 f'bf16 peak, P_avg {p_lo/1e3:.1f}..{p_hi/1e3:.1f} kW)'),
+        'vs_baseline': round(float(solves_per_s) / target, 5),
     })
 
 
