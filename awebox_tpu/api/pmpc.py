@@ -38,9 +38,11 @@ class Pmpc:
         self.T = trial.global_outputs()['time_period']
         self.ts = float(ts) if ts is not None else self.T / (trial.ocp.n_k)
 
-        # --- build the mpc ocp: same model, tracking trajectory type -------
+        # --- build the mpc ocp: same model, receding-horizon 'mpc' type
+        # (NOT 'tracking', which is periodic: the horizon must stay open,
+        # reference pmpc.py:68-84 sets trajectory.type='mpc') -------------
         options = copy.deepcopy(trial.options)
-        options['user_options']['trajectory']['type'] = 'tracking'
+        options['user_options']['trajectory']['type'] = 'mpc'
         options['nlp']['n_k'] = self.N
         options['nlp']['collocation']['d'] = self.d
         options['user_options']['trajectory']['lift_mode']['phase_fix'] = 'simple'
@@ -66,9 +68,10 @@ class Pmpc:
         self.P['cost']['u_regularisation'] = jnp.asarray(1e-6)
         self.P['cost']['xdot_regularisation'] = jnp.asarray(1e-8)
 
-        from ..ocp.structured import make_structured_derivs
-        derivs = make_structured_derivs(self.ocp) \
-            if self.ocp.vstruct.total >= 1200 else None
+        # dense autodiff derivatives: the structured per-node assembly
+        # assumes path rows at every shooting node, which the 'mpc' type
+        # violates (k=0 rows dropped)
+        derivs = None
         self.solver = InteriorPointSolver(
             self.ocp.f_fn, self.ocp.eq_fn, self.ocp.ineq_fn,
             n=self.ocp.vstruct.total, n_eq=self.ocp.n_eq,
@@ -79,6 +82,7 @@ class Pmpc:
 
         self._state = None
         self._V_prev = None
+        self._prev_res = None
         self.t_current = 0.
         self.stats = []
 
@@ -150,9 +154,25 @@ class Pmpc:
         vs = self.ocp.vstruct
         lb = self.lb_nominal.copy()
         ub = self.ub_nominal.copy()
-        # pin phi (no homotopy in mpc; tracking blend = 1)
-        lb[vs.phi_slice] = 1.
-        ub[vs.phi_slice] = 1.
+        # pin phi at its FINAL homotopy values: gamma/tau/iota = 0 (real
+        # dynamics — gamma=1 would re-enable the fictitious forces, which
+        # the zero-weight mpc cost then exploits and the plant cannot
+        # realize), tracking blend psi*eta*nu*upsilon = 1
+        phi_final = {'gamma': 0., 'tau': 0., 'iota': 0.,
+                     'psi': 1., 'eta': 1., 'nu': 1., 'upsilon': 1.}
+        for i, name in enumerate(PHI_NAMES):
+            lb[vs.phi_slice.start + i] = phi_final[name]
+            ub[vs.phi_slice.start + i] = phi_final[name]
+        # fictitious controls stay at zero (the homotopy's 'release_fict'
+        # end state for a physical trajectory)
+        layout = self.model.layout
+        for name in layout.names('u'):
+            if 'fict' in name:
+                rel = layout.slices['u'][name]
+                for k in range(self.N):
+                    s = vs.u_slice(k)
+                    lb[s.start + rel.start:s.start + rel.stop] = 0.
+                    ub[s.start + rel.start:s.start + rel.stop] = 0.
         # pin theta (frozen design, fixed horizon)
         for name in vs.theta_names:
             sl = vs.theta_slice(name)
@@ -188,7 +208,15 @@ class Pmpc:
         V_init[vs.x_slice(0)] = x0_scaled
 
         t0 = time.time()
-        res = self.solver.solve(V_init, self.P, lb, ub,
+        # warm-start duals from the previous feedback solve (the role of
+        # the reference's 2-iteration relaxed-barrier presolve,
+        # pmpc.py:208-217: keep the solver near its barrier trajectory)
+        ws_state = None
+        if self._prev_res is not None:
+            ws_state = self.solver.init_state(
+                V_init, self.P, lb, ub, y0=self._prev_res.y,
+                lam0=self._prev_res.lam, mu=self.mu_mpc)
+        res = self.solver.solve(V_init, self.P, lb, ub, state=ws_state,
                                 tol=1e-4, mu_init=self.mu_mpc,
                                 mu_target=self.mu_mpc,
                                 max_iter=self.max_iter, verbose=verbose)
@@ -198,6 +226,7 @@ class Pmpc:
 
         V_sol = np.asarray(res.w)
         self._V_prev = V_sol
+        self._prev_res = res
         self.t_current += self.ts
         u0 = V_sol[vs.u_slice(0)]
         return u0, V_sol

@@ -26,6 +26,34 @@ class Simulation:
         self.T = trial.global_outputs()['time_period']
         self.ts = float(ts) if ts is not None else self.T / trial.ocp.n_k
         self.n_fe = trial.options['sim']['number_of_finite_elements']
+        self.integrator = trial.options['sim'].get('integrator', 'collocation')
+
+        # plant integrator: implicit Radau collocation substeps by default —
+        # A-stable, so the sampling interval need not resolve the Baumgarte
+        # mode (-2*kappa, ~0.1 s); explicit rk4root at ts/n_fe would leave
+        # the stability region on coarse sampling grids (the reference's
+        # integrator options, mdl/dae.py:103-136)
+        import jax
+
+        if self.integrator == 'collocation':
+            step_fn = self.dae.make_collocation_step(d=3, scheme='radau',
+                                                     iters=10)
+            n_sub = self.n_fe
+
+            def plant(x, u, zd, theta0):
+                def body(carry, _):
+                    return step_fn(carry[0], u, carry[1],
+                                   self.ts / n_sub, theta0), None
+                (xf, zdf), _ = jax.lax.scan(body, (x, zd), None, length=n_sub)
+                return xf, zdf
+            self._plant = jax.jit(plant)
+        elif self.integrator == 'rk4root':
+            def plant(x, u, zd, theta0):
+                return self.dae.integrate(x, u, zd, self.ts, self.n_fe,
+                                          theta0)
+            self._plant = plant
+        else:
+            raise ValueError(f'unknown sim integrator {self.integrator!r}')
 
         if sim_type == 'closed_loop':
             from .pmpc import Pmpc
@@ -69,7 +97,7 @@ class Simulation:
             self.results['x'].append(np.asarray(x))
             self.results['u'].append(np.asarray(u0))
             self.results['zd'].append(np.asarray(zd))
-            x, zd = self.dae.integrate(x, u0, zd, self.ts, self.n_fe, theta0)
+            x, zd = self._plant(x, u0, zd, theta0)
             t += self.ts
         self.results['t'].append(t)
         self.results['x'].append(np.asarray(x))

@@ -36,15 +36,33 @@ class Trial:
         self._solver_cache: dict = {}
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _peak_rss_mb():
+        """Peak resident set size [MB] (reference optimization.py:90-92
+        resource.getrusage tracking)."""
+        try:
+            import resource
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.
+        except Exception:
+            return float('nan')
+
     def build(self):
+        """Per-stage build timings mirror the reference's timings dicts
+        (mdl/model.py:56-68, ocp/nlp.py:95)."""
         t0 = time.time()
         arch_seed = self.options_raw['user_options.system_model.architecture']
         self.arch = Architecture(dict(arch_seed))
         self.options = self.options_raw.build(self.arch)
+        self.timings['build_options'] = time.time() - t0
+        t1 = time.time()
         self.model = make_model(self.options, self.arch)
+        self.timings['build_model'] = time.time() - t1
+        t1 = time.time()
         self.ocp = build_ocp(self.model, self.options)
         self.lb_nominal, self.ub_nominal = build_v_bounds(self.ocp)
+        self.timings['build_nlp'] = time.time() - t1
         self.timings['build'] = time.time() - t0
+        self.timings['peak_rss_mb'] = self._peak_rss_mb()
         return self
 
     # ------------------------------------------------------------------
@@ -75,6 +93,7 @@ class Trial:
             final_homotopy_step=final_homotopy_step,
             solver_cache=self._solver_cache, verbose=verbose)
         self.timings['optimize'] = time.time() - t0
+        self.timings['peak_rss_mb'] = self._peak_rss_mb()
 
         # post-solve KKT health gate (reference opti/optimization.py:372-374)
         hc_opts = self.options['solver']['health_check']
@@ -125,6 +144,42 @@ class Trial:
                 out[name] = val * scale
         return out
 
+    def solution_table(self) -> str:
+        """Post-solve summary table (reference trial.py:244-282): headline
+        performance, optimized design parameters, per-step iterations/wall
+        time, and the cost-component breakdown (trial.py:367-390)."""
+        go = self.global_outputs()
+        lines = [f'===== solution: {self.name} =====',
+                 f'  average power      {go["avg_power_watts"] / 1e3:10.3f} kW',
+                 f'  time period        {go["time_period"]:10.2f} s',
+                 f'  final energy       {go["e_final_joules"] / 1e3:10.2f} kJ']
+        for name, val in self.theta_opt().items():
+            flat = np.ravel(val)
+            txt = ', '.join(f'{v:.4g}' for v in flat)
+            lines.append(f'  theta {name:12s} [{txt}]')
+        stats = self.solution.stats
+        total_it = sum(stats['iterations'].values())
+        total_t = sum(stats['t_wall'].values())
+        lines.append(f'  homotopy           {total_it} iterations, '
+                     f'{total_t:.1f} s wall')
+        for key in stats['iterations']:
+            lines.append(f'    {key:22s} {stats["iterations"][key]:5d} it '
+                         f'{stats["t_wall"][key]:8.1f} s')
+        if self.ocp.cost_components_fn is not None:
+            comp = self.ocp.cost_components_fn(self.solution.V_opt,
+                                               self.solution.P)
+            lines.append('  cost components:')
+            for name in sorted(comp):
+                val = float(np.asarray(comp[name]))
+                if abs(val) > 1e-12 and not name.endswith('problem_cost'):
+                    lines.append(f'    {name:28s} {val: .4e}')
+        if 'peak_rss_mb' in self.timings:
+            lines.append(f'  peak RSS           {self.timings["peak_rss_mb"]:.0f} MB')
+        return '\n'.join(lines)
+
+    def print_solution_table(self):
+        awelogger.info(self.solution_table())
+
     def x_traj_si(self, name: str) -> np.ndarray:
         """(n_k+1, dim) SI trajectory of state `name` at shooting nodes."""
         V = self.solution.V_opt
@@ -150,7 +205,7 @@ class Trial:
         from ..viz import visualization
         plot_dict = postprocessing.interpolate_solution(self, n_points)
         return visualization.plot(plot_dict, self.arch, flags,
-                                  save_prefix=save_prefix)
+                                  save_prefix=save_prefix, trial=self)
 
     def write_to_csv(self, filename, n_points: int = 100):
         from . import postprocessing

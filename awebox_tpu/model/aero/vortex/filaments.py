@@ -79,20 +79,196 @@ def semi_infinite_filament_induction(fil: SemiInfiniteFilaments, x_obs):
     return num / den[..., None]
 
 
+# ----------------------------------------------------------------------
+# complete elliptic integrals via Carlson symmetric forms (fixed-iteration
+# duplication algorithm: smooth, jit-friendly, machine precision — replacing
+# the reference's polynomial approximations of order <= 6,
+# tools/vector_operations.py:512-660)
+# ----------------------------------------------------------------------
+
+def _carlson_rf(x, y, z, iters=16):
+    """Carlson R_F(x, y, z) by duplication."""
+    def body(_, carry):
+        x, y, z = carry
+        lam = jnp.sqrt(x) * jnp.sqrt(y) + jnp.sqrt(y) * jnp.sqrt(z) \
+            + jnp.sqrt(z) * jnp.sqrt(x)
+        return (0.25 * (x + lam), 0.25 * (y + lam), 0.25 * (z + lam))
+    x, y, z = jax.lax.fori_loop(0, iters, body, (x, y, z))
+    mu = (x + y + z) / 3.
+    dx, dy, dz = 1. - x / mu, 1. - y / mu, 1. - z / mu
+    e2 = dx * dy + dy * dz + dz * dx
+    e3 = dx * dy * dz
+    return (1. - e2 / 10. + e3 / 14. + e2 ** 2 / 24. - 3. * e2 * e3 / 44.) \
+        / jnp.sqrt(mu)
+
+
+def _carlson_rd(x, y, z, iters=16):
+    """Carlson R_D(x, y, z) by duplication."""
+    def body(_, carry):
+        x, y, z, s, fac = carry
+        lam = jnp.sqrt(x) * jnp.sqrt(y) + jnp.sqrt(y) * jnp.sqrt(z) \
+            + jnp.sqrt(z) * jnp.sqrt(x)
+        s = s + fac / (jnp.sqrt(z) * (z + lam))
+        return (0.25 * (x + lam), 0.25 * (y + lam), 0.25 * (z + lam),
+                s, 0.25 * fac)
+    x, y, z, s, fac = jax.lax.fori_loop(
+        0, iters, body, (x, y, z, jnp.zeros_like(x), jnp.ones_like(x)))
+    mu = (x + y + 3. * z) / 5.
+    dx, dy, dz = 1. - x / mu, 1. - y / mu, 1. - z / mu
+    ea = dx * dy
+    eb = dz * dz
+    ec = ea - eb
+    ed = ea - 6. * eb
+    ee = ed + 2. * ec
+    series = 1. - 3. * ed / 14. + 9. * ed ** 2 / 88. + dz * ee / 6. \
+        - 9. * dz * (ea * dz - dz ** 3) / 52. / 2.
+    return 3. * s + fac * series / (mu * jnp.sqrt(mu))
+
+
+def _carlson_rj(x, y, z, p, iters=16):
+    """Carlson R_J(x, y, z, p) by duplication (p > 0)."""
+    def body(_, carry):
+        x, y, z, p, s, fac = carry
+        sx, sy, sz = jnp.sqrt(x), jnp.sqrt(y), jnp.sqrt(z)
+        lam = sx * sy + sy * sz + sz * sx
+        alpha = (p * (sx + sy + sz) + sx * sy * sz) ** 2
+        beta = p * (p + lam) ** 2
+        # RC(alpha, beta) via RF(alpha, beta, beta)
+        s = s + fac * _carlson_rf(alpha, beta, beta, iters=12)
+        return (0.25 * (x + lam), 0.25 * (y + lam), 0.25 * (z + lam),
+                0.25 * (p + lam), s, 0.25 * fac)
+    x, y, z, p, s, fac = jax.lax.fori_loop(
+        0, iters, body,
+        (x, y, z, p, jnp.zeros_like(x), jnp.ones_like(x)))
+    mu = (x + y + z + 2. * p) / 5.
+    dx, dy, dz = 1. - x / mu, 1. - y / mu, 1. - z / mu
+    dp = 1. - p / mu
+    ea = dx * dy + dy * dz + dz * dx
+    eb = dx * dy * dz
+    ec = dp ** 2
+    series = 1. + 3. * (ec - ea / 2.) / 7. + eb / 3.
+    return 3. * s + fac * series / (mu * jnp.sqrt(mu))
+
+
+def elliptic_k(m):
+    """Complete elliptic integral K(m), parameter convention m = k^2."""
+    return _carlson_rf(jnp.zeros_like(m), 1. - m, jnp.ones_like(m))
+
+
+def elliptic_e(m):
+    """Complete elliptic integral E(m)."""
+    one = jnp.ones_like(m)
+    return _carlson_rf(jnp.zeros_like(m), 1. - m, one) \
+        - m / 3. * _carlson_rd(jnp.zeros_like(m), 1. - m, one)
+
+
+def elliptic_pi(n, m):
+    """Complete elliptic integral Pi(n, m) (characteristic n, parameter m)."""
+    one = jnp.ones_like(m)
+    return _carlson_rf(jnp.zeros_like(m), 1. - m, one) \
+        + n / 3. * _carlson_rj(jnp.zeros_like(m), 1. - m, one, 1. - n)
+
+
+# ----------------------------------------------------------------------
+# semi-infinite right vortex cylinders (the far-wake helix smeared into a
+# vorticity tube): tangential + longitudinal sheet components, ported from
+# the reference's regularized expressions
+# (semi_infinite_tangential_right_cylinder.py:63-188,
+#  semi_infinite_longitudinal_right_cylinder.py:56-138,
+#  semi_infinite_right_cylinder.py:68-132)
+# ----------------------------------------------------------------------
+
+class SemiInfCylinders(NamedTuple):
+    """Struct-of-arrays cylinder set: (N, 3) / (N,). ``tangential_strength``
+    is the tangential sheet strength (-Gamma/pitch, signed);
+    ``longitudinal_strength`` is Gamma/(2 pi R) (signed)."""
+    x_center: jnp.ndarray
+    l_hat: jnp.ndarray
+    radius: jnp.ndarray
+    l_start: jnp.ndarray
+    epsilon_m: jnp.ndarray
+    epsilon_r: jnp.ndarray
+    tangential_strength: jnp.ndarray
+    longitudinal_strength: jnp.ndarray
+
+
+def _cylinder_frame(cyl: SemiInfCylinders, x_obs):
+    diff = x_obs - cyl.x_center                                    # (N, 3)
+    z_along = jnp.sum(diff * cyl.l_hat, axis=-1)
+    radial = diff - cyl.l_hat * z_along[..., None]
+    r_obs = jnp.sqrt(jnp.sum(radial * radial, axis=-1)
+                     + cyl.epsilon_r ** 2)
+    r_hat_base = radial / r_obs[..., None]
+    zhat = jnp.array([0., 0., 1.])
+    r_hat = r_hat_base + cyl.epsilon_m[..., None] * zhat
+    r_hat = r_hat / jnp.sqrt(jnp.sum(r_hat * r_hat, axis=-1))[..., None]
+    theta_hat = jnp.cross(cyl.l_hat, r_hat)
+    theta_hat = theta_hat / jnp.sqrt(
+        jnp.sum(theta_hat * theta_hat, axis=-1))[..., None]
+    z_obs = z_along - cyl.l_start
+    return r_obs, z_obs, r_hat, theta_hat
+
+
+def _smooth_sign(x, eps):
+    return jnp.tanh(x / jnp.maximum(eps, 1e-12))
+
+
+def cylinder_induction(cyl: SemiInfCylinders, x_obs):
+    """Induced velocity at one observer from N semi-infinite right
+    cylinders, tangential + longitudinal vorticity sheets superposed."""
+    r_obs, z_obs, r_hat, theta_hat = _cylinder_frame(cyl, x_obs)
+    R = cyl.radius
+    eps_r = cyl.epsilon_r
+
+    den_m = (R + r_obs) ** 2 + z_obs ** 2 + eps_r ** 2
+    m = 4. * r_obs * R / den_m
+    m0 = 4. * r_obs * R / ((R + r_obs) ** 2 + eps_r ** 2)
+    m = jnp.clip(m, 0., 1. - 1e-9)
+    m0 = jnp.clip(m0, 0., 1. - 1e-9)
+    K = elliptic_k(m)
+    E = elliptic_e(m)
+    PI = elliptic_pi(m0, m)
+    sqrt_den = jnp.sqrt(den_m)
+
+    # --- tangential sheet (tangential_right_cylinder.py:63-188) ----------
+    sigma_t = cyl.tangential_strength
+    u_rad = (-sigma_t / (2. * jnp.pi)) * sqrt_den / (r_obs + eps_r) \
+        * ((1. - 0.5 * m) * K - E)
+    inside = (_smooth_sign(R - r_obs, eps_r) + 1.) / 2.
+    long_ell = z_obs / jnp.pi * (K * (R + r_obs + eps_r)
+                                 + (R - r_obs) * PI) \
+        / ((R + r_obs + eps_r) * sqrt_den)
+    u_long = sigma_t / 2. * (inside + long_ell)
+
+    # --- longitudinal sheet (longitudinal_right_cylinder.py:56-138) ------
+    sigma_l = cyl.longitudinal_strength
+    base = sigma_l * R / 2. * r_obs / (r_obs ** 2 + eps_r ** 2)
+    outside = (1. - _smooth_sign(R - r_obs, eps_r)) / 2.
+    tan_ell = z_obs / jnp.pi * (K - (R - r_obs) / (R + r_obs + eps_r) * PI) \
+        / sqrt_den
+    u_theta = base * (outside + tan_ell)
+
+    return u_rad[..., None] * r_hat + u_long[..., None] * cyl.l_hat \
+        + u_theta[..., None] * theta_hat
+
+
 def total_induction(finite: FiniteFilaments, semi: SemiInfiniteFilaments,
-                    x_obs):
+                    x_obs, cylinders: SemiInfCylinders = None):
     """Superposed induced velocity at one observer point: (3,)."""
     u = jnp.zeros(3)
     if finite is not None:
         u = u + jnp.sum(finite_filament_induction(finite, x_obs), axis=0)
     if semi is not None:
         u = u + jnp.sum(semi_infinite_filament_induction(semi, x_obs), axis=0)
+    if cylinders is not None:
+        u = u + jnp.sum(cylinder_induction(cylinders, x_obs), axis=0)
     return u
 
 
-def induction_at_observers(finite, semi, x_obs_batch):
+def induction_at_observers(finite, semi, x_obs_batch, cylinders=None):
     """All-pairs kernel: (M, 3) induced velocity at M observers."""
-    return jax.vmap(lambda xo: total_induction(finite, semi, xo))(x_obs_batch)
+    return jax.vmap(lambda xo: total_induction(finite, semi, xo,
+                                               cylinders))(x_obs_batch)
 
 
 # ----------------------------------------------------------------------
@@ -163,3 +339,59 @@ def test_regularization_on_filament():
     fil = construct_test_filament(r_core=0.05)
     u = total_induction(fil, None, jnp.array([0., 0., 0.]))
     assert bool(jnp.all(jnp.isfinite(u)))
+
+
+def construct_test_cylinder(sigma_tan=1., sigma_long=0., radius=2.):
+    """Semi-infinite +x cylinder starting at the origin
+    (semi_infinite_right_cylinder.construct_test_object analog)."""
+    return SemiInfCylinders(
+        x_center=jnp.array([[0., 0., 0.]]),
+        l_hat=jnp.array([[1., 0., 0.]]),
+        radius=jnp.array([radius]),
+        l_start=jnp.array([0.]),
+        epsilon_m=jnp.array([1e-8]),
+        epsilon_r=jnp.array([1e-8]),
+        tangential_strength=jnp.array([sigma_tan]),
+        longitudinal_strength=jnp.array([sigma_long]))
+
+
+def test_tangential_cylinder_interior_axial_limit(epsilon=1e-3):
+    """Far downstream inside the tube the axial velocity tends to the sheet
+    strength sigma; outside it vanishes (the classical vortex-tube limits;
+    reference semi_infinite_tangential_right_cylinder.py:612-700 tests)."""
+    cyl = construct_test_cylinder(sigma_tan=1.3)
+    u_in = cylinder_induction(cyl, jnp.array([1e5, 0.5, 0.]))[0]
+    assert abs(float(u_in[0]) - 1.3) < epsilon, u_in
+    u_out = cylinder_induction(cyl, jnp.array([1e5, 5., 0.]))[0]
+    assert abs(float(u_out[0])) < epsilon, u_out
+
+
+def test_tangential_cylinder_on_axis_radial_zero(epsilon=1e-6):
+    """On the cylinder axis the radial induction vanishes
+    (semi_infinite_tangential_right_cylinder.py:291-311)."""
+    cyl = construct_test_cylinder(sigma_tan=1.)
+    u = cylinder_induction(cyl, jnp.array([1., 0., 0.]))[0]
+    r_comp = jnp.sqrt(u[1] ** 2 + u[2] ** 2)
+    assert float(r_comp) < epsilon, u
+
+
+def test_tangential_cylinder_start_plane_half(epsilon=1e-3):
+    """At the starting plane, deep inside, axial velocity = sigma/2."""
+    cyl = construct_test_cylinder(sigma_tan=2.)
+    u = cylinder_induction(cyl, jnp.array([0., 0.2, 0.]))[0]
+    assert abs(float(u[0]) - 1.) < epsilon, u
+
+
+def test_longitudinal_cylinder_circulation_limit(epsilon=1e-3):
+    """Far downstream the longitudinal sheet acts as a 2D vortex tube:
+    u_theta = sigma_l R / r outside, 0 inside
+    (semi_infinite_longitudinal_right_cylinder.py tests)."""
+    R = 2.
+    cyl = construct_test_cylinder(sigma_tan=0., sigma_long=1., radius=R)
+    r_out = 5.
+    u_out = cylinder_induction(cyl, jnp.array([1e5, r_out, 0.]))[0]
+    # theta_hat at +y observer (l_hat = +x, r_hat = +y) is l x r = +z
+    expected = 1. * R / r_out
+    assert abs(float(u_out[2]) - expected) / expected < 2e-2, u_out
+    u_in = cylinder_induction(cyl, jnp.array([1e5, 0.3, 0.]))[0]
+    assert abs(float(u_in[2])) < epsilon, u_in

@@ -89,6 +89,7 @@ def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
 
     x_starts, x_ends, strengths = [], [], []
     s_starts, s_lhats, s_strengths = [], [], []
+    cyl_rows = []          # far-wake cylinders (per kite, per wingtip)
 
     rings = jnp.arange(n_rings)
     shed_idx = jnp.mod(m_obs - rings, n_k)                    # (R,)
@@ -143,6 +144,33 @@ def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
             s_starts.append(node_m[-1][None, :])
             s_lhats.append(l_hat[None, :])
             s_strengths.append(-g_ring[-1:])
+        elif cfg['vortex_far_wake'] == 'semi_infinite_right_cylinder':
+            # helix-averaged far wake: per wingtip one tangential +
+            # longitudinal vorticity cylinder along the wind direction
+            # (wake_objects_dir/far_wake.py:154-223); center/pitch/rotation
+            # sense computed from the orbit data instead of the reference's
+            # lifted wx_center/wh variables
+            l_hat = jnp.array([1., 0., 0.])
+            eps_r = cfg['vortex_epsilon_r']
+            eps_m = cfg['vortex_epsilon_m']
+            q_nodes = 0.5 * (tm + tp)                       # (n_k, 3)
+            x_center = jnp.mean(q_nodes, axis=0)
+            u_conv_mean = jnp.mean(uc, axis=0)
+            pitch = jnp.maximum(u_conv_mean @ l_hat, 1e-6) * T_period
+            rel = q_nodes - x_center
+            cross_sum = jnp.sum(jnp.cross(rel[:-1], rel[1:]), axis=0)
+            direction = jnp.tanh((cross_sum @ l_hat)
+                                 / (jnp.sum(rel[0] ** 2) + 1e-8))
+            g_last = g_ring[-1]
+            for node_last, tip_dir in ((node_m[-1], -1.), (node_p[-1], 1.)):
+                vec = node_last - x_center
+                l_st = vec @ l_hat
+                radial = vec - l_st * l_hat
+                radius = jnp.sqrt(radial @ radial + eps_r ** 2)
+                cyl_rows.append((
+                    x_center, l_hat, radius, l_st,
+                    -g_last / pitch * direction * tip_dir,
+                    g_last / (2. * jnp.pi * radius) * tip_dir))
 
     x_start = jnp.concatenate(x_starts)
     finite = fil.FiniteFilaments(
@@ -158,7 +186,21 @@ def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
             l_hat=jnp.concatenate(s_lhats),
             r_core=jnp.full(s_start.shape[:-1], r_core),
             strength=jnp.concatenate(s_strengths))
-    return finite, semi
+    cyls = None
+    if cyl_rows:
+        eps_r = cfg['vortex_epsilon_r']
+        eps_m = cfg['vortex_epsilon_m']
+        n_c = len(cyl_rows)
+        cyls = fil.SemiInfCylinders(
+            x_center=jnp.stack([c[0] for c in cyl_rows]),
+            l_hat=jnp.stack([c[1] for c in cyl_rows]),
+            radius=jnp.stack([c[2] for c in cyl_rows]),
+            l_start=jnp.stack([c[3] for c in cyl_rows]),
+            epsilon_m=jnp.full((n_c,), eps_m),
+            epsilon_r=jnp.full((n_c,), eps_r),
+            tangential_strength=jnp.stack([c[4] for c in cyl_rows]),
+            longitudinal_strength=jnp.stack([c[5] for c in cyl_rows]))
+    return finite, semi, cyls
 
 
 def make_vortex_residual_fn(ocp):
@@ -237,14 +279,15 @@ def make_vortex_residual_fn(ocp):
         # q_obs_all: (n_kites, N, 3) with N = n_k*(1+d)
 
         def one_node(t_obs, m_obs, z_vec, q_obs_nodes):
-            finite, semi = build_filament_set(
+            finite, semi, cyls = build_filament_set(
                 cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
                 t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period)
             rows = []
             for ki, kite in enumerate(kites):
                 sl = ui_slices[kite]
                 ui = z_vec[sl.start:sl.stop] * ui_scale[kite]
-                ui_model = fil.total_induction(finite, semi, q_obs_nodes[ki])
+                ui_model = fil.total_induction(finite, semi, q_obs_nodes[ki],
+                                               cylinders=cyls)
                 rows.append((iota * ui
                              + (1. - iota) * (ui - ui_model)) / u_ref)
             return jnp.concatenate(rows)

@@ -176,6 +176,8 @@ def _build_cfg(options, arch) -> dict:
     cfg['vortex_core_to_chord_ratio'] = float(vor['core_to_chord_ratio'])
     cfg['vortex_far_wake'] = vor['far_wake_element_type']
     cfg['vortex_strength_mode'] = vor['filament_strength_from_circulation']
+    cfg['vortex_epsilon_m'] = float(vor['epsilon_m'])
+    cfg['vortex_epsilon_r'] = float(vor['epsilon_r'])
     return cfg
 
 

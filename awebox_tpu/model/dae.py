@@ -81,6 +81,79 @@ class Dae:
 
         self.integrate = jax.jit(integrate, static_argnames=('n_steps',))
 
+        # --- implicit collocation step (IDAS role; the reference's
+        # 'collocation' integrator option, mdl/dae.py:103-136) --------------
+        # One Radau-IIA step solved by Newton on the stacked stage system:
+        # unknowns (x_j, z_j) for stages j=1..d, with the stage derivative
+        # taken from the collocation differentiation matrix — identical
+        # equations to one interval of the direct-collocation NLP, so
+        # re-simulating a collocation solution with this integrator must
+        # reproduce it to Newton tolerance (the cross-discretization
+        # regression, reference test/reg/test_discretization.py:22-90).
+        from ..ocp.collocation import Collocation
+
+        def make_collocation_step(d=3, scheme='radau', iters=12):
+            if self.nxd != self.nx:
+                raise NotImplementedError(
+                    'collocation step assumes one xdot entry per state')
+            coll = Collocation.build(d, scheme)
+            C = jnp.asarray(coll.coeff_collocation)      # (d+1, d+1)
+            cont = jnp.asarray(coll.coeff_continuity)    # (d+1,)
+            nx, nz = self.nx, self.nz
+
+            def stage_residual(x0, stages, u, dt, theta0):
+                xs = stages[:, :nx]                       # (d, nx)
+                zs = stages[:, nx:]                       # (d, nz)
+                x_stack = jnp.concatenate([x0[None, :], xs], axis=0)
+                xdot = (C[:, 1:].T @ x_stack) / dt        # (d, nx)
+
+                def node_res(xj, xdj, zj):
+                    v = jnp.concatenate([xj, xdj[:self.nxd], u, zj,
+                                         self.theta_model])
+                    return model.eq_fn(v, self.phi, theta0)
+                res = jax.vmap(node_res)(xs, xdot, zs)    # (d, n_eq_m)
+                return res.reshape(-1)
+
+            tau = jnp.asarray(coll.tau_root[1:])          # (d,)
+
+            def step(x0, u, zd0, dt, theta0, stages_init=None):
+                """x0 -> x_next over dt seconds; zd0 = (xdot, z) warm start.
+                Returns (x_next, zd_next) matching rk4root_step's interface.
+                Stage states initialize on the tangent ray x0 + dt*tau*xdot0
+                (Newton from a flat x0 guess diverges on long intervals);
+                pass stages_init (d, nx+nz) to warm start from a known
+                trajectory (e.g. an NLP solution's collocation values)."""
+                xdot0 = zd0[:self.nxd]
+                z_guess = zd0[self.nxd:]
+                if stages_init is None:
+                    xs0 = x0[None, :] + dt * tau[:, None] * xdot0[None, :]
+                    stages0 = jnp.concatenate(
+                        [xs0, jnp.broadcast_to(z_guess, (d, nz))], axis=1)
+                else:
+                    stages0 = stages_init
+
+                def body(_, stages):
+                    r = stage_residual(x0, stages, u, dt, theta0)
+                    J = jax.jacfwd(
+                        lambda s: stage_residual(x0, s.reshape(d, -1), u,
+                                                 dt, theta0))(stages.reshape(-1))
+                    delta = jnp.linalg.solve(J, r)
+                    delta = jnp.where(jnp.isfinite(delta), delta, 0.)
+                    return stages - delta.reshape(d, -1)
+
+                stages = jax.lax.fori_loop(0, iters, body, stages0)
+                xs = stages[:, :nx]
+                x_stack = jnp.concatenate([x0[None, :], xs], axis=0)
+                x_next = cont @ x_stack
+                xdot_last = ((C[:, 1:].T @ x_stack) / dt)[-1]
+                zd_next = jnp.concatenate([xdot_last[:self.nxd],
+                                           stages[-1, nx:]])
+                return x_next, zd_next
+
+            return step
+
+        self.make_collocation_step = make_collocation_step
+
     # ------------------------------------------------------------------
     def consistent_zd(self, x, u, theta0, zd_guess=None):
         if zd_guess is None:

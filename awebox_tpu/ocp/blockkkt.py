@@ -303,18 +303,62 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
     phi_sl = vs.phi_slice
     phi_cost_names = list(PHI_NAMES)
 
+    # --- consolidated per-node AD: ONE jacfwd pass per node family yields
+    # residual values, constraint Jacobians, the Lagrangian Hessian block and
+    # (for collocation nodes) the cost gradient. Halves the traced graph vs
+    # separate jacfwd/hessian calls — compile time on the XLA:TPU path scales
+    # superlinearly in module size, so this is a compile-time lever as much
+    # as a runtime one.
+    def coll_all(local, c_row, sel_row, phase_w, iw, ref_vec, lam_node, P,
+                 theta0):
+        eq = kit.coll_eq_local(local, c_row, sel_row, phase_w, theta0)
+
+        def scal(loc):
+            return kit.coll_scalar(loc, c_row, sel_row, phase_w, iw,
+                                   ref_vec, lam_node, P, theta0)
+        val, g = jax.value_and_grad(scal)(local)
+        # jacfwd primary -> (J_eq, H); aux -> primal values
+        return (eq, g), (eq, val, g)
+
+    def sh_all(local, phase_w, lam_eq_node, lam_ineq_node, theta0):
+        eq = kit.sh_eq_local(local, phase_w, theta0)
+        iq = kit.sh_ineq_local(local, phase_w, theta0) if n_ineq_m \
+            else jnp.zeros(0)
+
+        def scal(loc):
+            return kit.sh_scalar(loc, phase_w, lam_eq_node, lam_ineq_node,
+                                 theta0)
+        g = jax.grad(scal)(local)
+        return (eq, iq, g), (eq, iq)
+
+    coll_ad = jax.vmap(jax.jacfwd(coll_all, has_aux=True),
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    sh_ad = jax.vmap(jax.jacfwd(sh_all, has_aux=True),
+                     in_axes=(0, 0, 0, 0, None))
+
     def derivs(w, y, lam, P):
         theta0 = P['theta0']
 
         coll_locals = w[coll_idx_j]
         sh_locals = w[sh_idx_j]
+        ref_vecs = kit.ref_nodes_from_P(P)
+        lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
+        lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
+        if n_ineq_m:
+            lam_path = lam[ocp.ineq_slices['path'].start:
+                           ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
+        else:
+            lam_path = jnp.zeros((n_k, 0))
 
-        # --- residual values from the per-node locals ---------------------
-        r_coll = jax.vmap(kit.coll_eq_local, in_axes=(0, 0, 0, 0, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
-        r_sh = jax.vmap(kit.sh_eq_local, in_axes=(0, 0, None))(
-            sh_locals, sh_phase_ws_j, theta0)
+        (J_coll, H_coll), (r_coll, scal_coll, g_scal) = coll_ad(
+            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+            ref_vecs, lam_coll, P, theta0)
+        (J_sh, J_path, H_sh), (r_sh, r_path) = sh_ad(
+            sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
+        if not n_ineq_m:
+            J_path = None
 
+        # --- residual values (constraint groups are contiguous) ------------
         X = vs.get_x_all(w)                        # (n_k+1, nx)
         CX = vs.get_coll_x(w)                      # (n_k, d, nx)
         X_stack = jnp.concatenate([X[:n_k, None, :], CX], axis=1)
@@ -333,28 +377,17 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
             parts.append((X[0] - terminal)[periodic_idx])
         cE = jnp.concatenate(parts)
 
-        if n_ineq_m:
-            r_path = jax.vmap(kit.sh_ineq_local, in_axes=(0, 0, None))(
-                sh_locals, sh_phase_ws_j, theta0)
-            cI_parts = [r_path.reshape(-1)]
-        else:
-            cI_parts = [jnp.zeros(0)]
+        cI_parts = [r_path.reshape(-1)] if n_ineq_m else [jnp.zeros(0)]
         if single_reelout:
             T = ocp.time_period_fn(w)
             cI_parts.append(jnp.array([(T - tf_bounds[1]) / tf_scale,
                                        (tf_bounds[0] - T) / tf_scale]))
         cI = jnp.concatenate(cI_parts)
 
-        # --- objective value + gradient from node costs -------------------
-        ref_vecs = kit.ref_nodes_from_P(P)
-        node_costs = jax.vmap(kit.coll_cost_local,
-                              in_axes=(0, 0, 0, 0, 0, 0, None, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
-            ref_vecs, P, theta0)
-        g_nodes = jax.vmap(jax.grad(kit.coll_cost_local),
-                           in_axes=(0, 0, 0, 0, 0, 0, None, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
-            ref_vecs, P, theta0)
+        # --- objective value + gradient ------------------------------------
+        # node cost = scalar - lam.eq; node cost grad = grad(scalar) - J^T lam
+        node_costs = scal_coll - jnp.einsum('nr,nr->n', lam_coll, r_coll)
+        g_nodes = g_scal - jnp.einsum('nr,nrl->nl', lam_coll, J_coll)
         gval, g_glob = jax.value_and_grad(kit.global_cost)(w[glob_idx], P)
         phi_w = jnp.stack([P['cost'][nm] for nm in phi_cost_names])
         fval = node_costs.sum() + gval + phi_w @ w[phi_sl]
@@ -364,30 +397,6 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
         gradf = gradf.at[glob_idx].add(g_glob)
         gradf = gradf.at[phi_sl].add(phi_w)
 
-        # --- derivative blocks ---------------------------------------------
-        J_coll = jax.vmap(jax.jacfwd(kit.coll_eq_local), in_axes=(0, 0, 0, 0, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
-        J_sh = jax.vmap(jax.jacfwd(kit.sh_eq_local), in_axes=(0, 0, None))(
-            sh_locals, sh_phase_ws_j, theta0)
-        J_path = None
-        if n_ineq_m:
-            J_path = jax.vmap(jax.jacfwd(kit.sh_ineq_local), in_axes=(0, 0, None))(
-                sh_locals, sh_phase_ws_j, theta0)
-
-        lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
-        lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
-
-        H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
-                          in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
-            ref_vecs, lam_coll, P, theta0)
-        if n_ineq_m:
-            lam_path = lam[ocp.ineq_slices['path'].start:
-                           ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
-        else:
-            lam_path = jnp.zeros((n_k, 0))
-        H_sh = jax.vmap(jax.hessian(kit.sh_scalar), in_axes=(0, 0, 0, 0, None))(
-            sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
         H_glob = jax.hessian(kit.global_cost)(w[glob_idx], P)
 
         return dict(fval=fval, gradf=gradf, cE=cE, cI=cI,
@@ -404,7 +413,7 @@ def make_block_derivs(ocp: OCP, maps=None) -> Callable:
 # ---------------------------------------------------------------------------
 
 def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
-                   n_refine: int = 1):
+                   n_refine: int = 2):
     """Returns (derivs_fn, kkt_solve) where kkt_solve mirrors the dense
     primal-dual direction computation of ipsolver._kkt_solve but runs the
     two-level block factorization with an in-jit regularization ladder.
@@ -635,16 +644,36 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             out = jnp.zeros(n).at[frame_V.reshape(-1)].add(y_frames.reshape(-1))
             return out + delta_used * free * v
 
+        def A_rows(v):
+            """A v in per-frame row coordinates: (n_k, m_rows)."""
+            return jnp.einsum('krj,kj->kr', A, v[frame_V])
+
+        def At_rows(rows):
+            """A^T rows -> dense n-vector (rows in per-frame coordinates)."""
+            fr = jnp.einsum('krj,kr->kj', A, rows)
+            return jnp.zeros(n).at[frame_V.reshape(-1)].add(fr.reshape(-1))
+
+        # primal-dual direction with AUGMENTED-system iterative refinement:
+        # refining only M dw = rhs leaves the dual direction
+        # dnu = (A dw + r2)/D to amplify the primal error by 1/delta_ce
+        # (~1e8) — enough to wreck the line search on ill-conditioned 6-DOF
+        # problems. Each round solves the augmented residual system through
+        # the same factorization and corrects BOTH dw and dnu.
+        r1 = asm['r1']
         dw = block_solve(rhs_w)
+        dnu_rows = (A_rows(dw) + r2_k) / D_k
         for _ in range(n_refine):
-            dw = dw + block_solve(rhs_w - matvec(dw))
+            Adw_rows = A_rows(dw)
+            # W_reg dw = matvec(dw) - A^T (A dw / D)
+            e1 = r1 - (matvec(dw) - At_rows(Adw_rows / D_k)) \
+                - At_rows(dnu_rows)
+            e2 = -r2_k - (Adw_rows - D_k * dnu_rows)
+            ddw = block_solve(e1 + At_rows(e2 / D_k))
+            dnu_rows = dnu_rows + (A_rows(ddw) - e2) / D_k
+            dw = dw + ddw
         dw = dw * free
         dw = jnp.where(jnp.isfinite(dw), dw, 0.)
 
-        # multipliers: dnu = (A dw + r2) / D, row-local per interval
-        dw_frames = dw[frame_V]
-        Adw = jnp.einsum('krj,kj->kr', A, dw_frames)
-        dnu_rows = (Adw + r2_k) / D_k
         dnu = jnp.zeros(n_eq + n_ineq + 1).at[row_gid.reshape(-1)].set(
             dnu_rows.reshape(-1))[:n_eq + n_ineq]
         dnu = jnp.where(jnp.isfinite(dnu), dnu, 0.)

@@ -49,6 +49,25 @@ def build_v_bounds(ocp) -> tuple[np.ndarray, np.ndarray]:
     lb[vs.phi_slice] = 0.
     ub[vs.phi_slice] = 1.
 
+    # xi boundary-trajectory parameters (formulation.py:150-169): active
+    # entries range [0, 1], UNUSED entries pin to 0; compromised landings
+    # pin xi_0 to the prescribed starting position
+    if vs.with_xi:
+        from .operation import conditions as op_conditions
+        conds = op_conditions(options)
+        i0 = vs.xi_slice.start
+        if conds['param_initial']:
+            lb[i0], ub[i0] = 0., 1.
+            if traj['type'] == 'compromised_landing':
+                xi0 = float(traj['compromised_landing']['xi_0_initial'])
+                lb[i0] = ub[i0] = xi0
+        else:
+            lb[i0] = ub[i0] = 0.
+        if conds['param_terminal']:
+            lb[i0 + 1], ub[i0 + 1] = 0., 1.
+        else:
+            lb[i0 + 1] = ub[i0 + 1] = 0.
+
     # x at shooting nodes (skip final node when periodic)
     last_bounded = n_k if periodic else n_k + 1
     for k in range(last_bounded):
@@ -56,16 +75,15 @@ def build_v_bounds(ocp) -> tuple[np.ndarray, np.ndarray]:
         lb[sl] = mb['x'][0]
         ub[sl] = mb['x'][1]
 
-    # x at collocation nodes (reference maps model bounds onto every
-    # coll_var entry, var_bounds.py:42-102)
-    for k in range(n_k):
-        for j in range(d):
-            sl = vs.coll_x_slice(k, j)
-            lb[sl] = mb['x'][0]
-            ub[sl] = mb['x'][1]
+    # x at collocation nodes: only the phase-fix-relevant dl_t entries are
+    # bounded there (var_bounds.py:113-201). The reference maps ALL model
+    # bounds onto coll_var entries (var_bounds.py:42-102); measured here,
+    # the extra interior active bounds materially slow homotopy convergence
+    # on coarse grids, and the path constraints already police the envelope
+    # at the enforcement nodes — so the general mapping stays off.
 
     # u, z at their parameterization's nodes (var_struct.py:59-81)
-    if vs.u_param == 'zoh':
+    if vs.u_param in ('zoh', 'ms'):
         for k in range(n_k):
             lb[vs.u_slice(k)] = mb['u'][0]
             ub[vs.u_slice(k)] = mb['u'][1]
@@ -120,7 +138,7 @@ def build_v_bounds(ocp) -> tuple[np.ndarray, np.ndarray]:
             # collocation nodes (var_bounds.py:148-166): free under zoh
             # controls; free at Radau nodes that overlap the next control
             # node; phase-classified only under poly controls elsewhere
-            for k in range(n_k):
+            for k in range(n_k if vs.u_param != 'ms' else 0):
                 for j in range(d):
                     idx = vs.coll_x_slice(k, j).start + dl_rel.start
                     overlaps_control = radau and (j == d - 1)

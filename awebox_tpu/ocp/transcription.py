@@ -68,6 +68,9 @@ def _model_node_order(layout):
 
 def build_ocp(model: Model, options: dict) -> OCP:
     nlp_opts = options['nlp']
+    if nlp_opts.get('discretization', 'direct_collocation') == 'multiple_shooting':
+        from .multiple_shooting import build_ms_ocp
+        return build_ms_ocp(model, options)
     n_k = int(nlp_opts['n_k'])
     d = int(nlp_opts['collocation']['d'])
     scheme = nlp_opts['collocation']['scheme']
@@ -84,9 +87,39 @@ def build_ocp(model: Model, options: dict) -> OCP:
     phase_fix = traj['lift_mode']['phase_fix'] if lift_mode else 'simple'
     single_reelout = lift_mode and phase_fix == 'single_reelout' \
         and traj['type'] == 'power_cycle'
-    periodic = traj['type'] in ('power_cycle', 'tracking')
 
-    vstruct = VStruct.build(layout, n_k, d, single_reelout, u_param)
+    # trajectory-type boundary-condition families (ocp/operation.py)
+    from . import operation as op
+    conds = op.conditions(options)
+    periodic = conds['periodic']
+    with_xi = conds['param_initial'] or conds['param_terminal']
+
+    table_init = table_term = None
+    table_T_src = None
+    if with_xi:
+        src = traj['transition']
+        if conds['param_initial']:
+            if src['initial_trajectory'] is None:
+                raise ValueError(
+                    f"trajectory type {traj['type']!r} needs user_options."
+                    "trajectory.transition.initial_trajectory (saved trial)")
+            tab, table_T_src = op.load_boundary_table(
+                src['initial_trajectory'], model)
+            table_init = jnp.asarray(tab)
+        if conds['param_terminal']:
+            if src['terminal_trajectory'] is None:
+                raise ValueError(
+                    f"trajectory type {traj['type']!r} needs user_options."
+                    "trajectory.transition.terminal_trajectory (saved trial)")
+            tab, T_term = op.load_boundary_table(
+                src['terminal_trajectory'], model)
+            table_term = jnp.asarray(tab)
+            if table_T_src is None:
+                table_T_src = T_term
+    param_keep = jnp.asarray(np.where(op.param_blacklist(options, model))[0])
+
+    vstruct = VStruct.build(layout, n_k, d, single_reelout, u_param,
+                            with_xi=with_xi)
 
     switch_kdx = round(n_k * nlp_opts['phase_fix_reelout']) if single_reelout else n_k
     phase_idx = np.array([0 if k < switch_kdx else 1 for k in range(n_k)])
@@ -223,6 +256,12 @@ def build_ocp(model: Model, options: dict) -> OCP:
     add_eq('continuity', n_k * nx)
     if periodic:
         add_eq('periodic', int(periodic_keep.sum()))
+    if conds['param_initial']:
+        add_eq('param_initial', int(param_keep.shape[0]))
+    if conds['param_terminal']:
+        add_eq('param_terminal', nx)
+    if conds['initial'] and traj['type'] == 'launch':
+        add_eq('initial_conditions', nx)
     averaged_induction = model.cfg.get('induction_model') == 'averaged'
     if averaged_induction:
         # trajectory-averaged momentum balance F_avg/T = 4a(1-a) WdA_int
@@ -285,6 +324,19 @@ def build_ocp(model: Model, options: dict) -> OCP:
             diff = X[0] - terminal_x(V)
             res.append(diff[periodic_idx])
 
+        # xi-parameterized boundary pins (operation.py:122-160, 326-356)
+        if conds['param_initial']:
+            xi_0 = vstruct.get_xi(V)[0]
+            x_pin = op.interp_table(table_init, xi_0)
+            res.append((X[0] - x_pin)[param_keep])
+        if conds['param_terminal']:
+            xi_f = vstruct.get_xi(V)[1]
+            x_pin = op.interp_table(table_term, xi_f)
+            res.append(terminal_x(V) - x_pin)
+        if conds['initial'] and traj['type'] == 'launch':
+            ref_x0 = vstruct.get_x_all(P['ref'])[0]
+            res.append(X[0] - ref_x0)
+
         if averaged_induction:
             F_nodes, WdA_nodes = jax.vmap(
                 model.avg_induction_fn, in_axes=(0, None, None))(
@@ -319,10 +371,17 @@ def build_ocp(model: Model, options: dict) -> OCP:
         icursor += dim
 
     # zoh: path inequalities bind at the n_k shooting nodes; poly: at the
-    # n_k*d collocation nodes (ocp/constraints.py:263-268)
-    add_ineq('path', (n_k * d if poly_u else n_k) * n_ineq_model)
+    # n_k*d collocation nodes (ocp/constraints.py:263-268). Receding-horizon
+    # 'mpc' problems drop the k=0 rows: the initial state is PINNED to the
+    # measurement, which may sit on/over a path limit — keeping those rows
+    # would make the NLP infeasible (reference pmpc.py:119-131 deletes them)
+    mpc_skip_k0 = (traj_type_is_mpc := traj['type'] == 'mpc') and not poly_u
+    n_path_nodes = n_k * d if poly_u else (n_k - 1 if mpc_skip_k0 else n_k)
+    add_ineq('path', n_path_nodes * n_ineq_model)
     if single_reelout:
         add_ineq('t_f_bounds', 2)
+    if conds['terminal_inequalities']:
+        add_ineq('terminal_position', 1 + arch.number_of_kites)
     n_ineq_total = icursor
 
     tf_bounds = options['model']['system_bounds']['theta']['t_f']
@@ -331,7 +390,8 @@ def build_ocp(model: Model, options: dict) -> OCP:
         phi = vstruct.get_phi(V)
         theta0 = P['theta0']
         shooting, coll_vecs = assemble_nodes(V)
-        path_nodes = coll_vecs if poly_u else shooting
+        path_nodes = coll_vecs if poly_u else (
+            shooting[1:] if mpc_skip_k0 else shooting)
         res = []
         if n_ineq_model:
             path = jax.vmap(model.ineq_fn, in_axes=(0, None, None))(path_nodes, phi, theta0)
@@ -343,6 +403,15 @@ def build_ocp(model: Model, options: dict) -> OCP:
             scale = nlp_opts['phase_fix_reelout']
             res.append(jnp.array([(T - tf_bounds[1]) / scale,
                                   (tf_bounds[0] - T) / scale]))
+        if conds['terminal_inequalities']:
+            # eta-homotopy blend: the landing radii start VIOLATED by the
+            # orbit-shaped initial guess (the feasible set of the 'initial'
+            # step would be empty); the rows switch on as eta walks 1 -> 0
+            # (the iota pattern of induction.py:76-101)
+            eta = phi[PHI_NAMES.index('eta')]
+            rows = op.terminal_position_inequality(
+                options, model, terminal_x(V))
+            res.append((1. - eta) * rows)
         return jnp.concatenate(res)
 
     # --- objective ----------------------------------------------------------
@@ -461,6 +530,28 @@ def build_ocp(model: Model, options: dict) -> OCP:
             + comp['xdot_regularisation_cost'] + comp['theta_regularisation_cost']
             + comp['beta_cost'] + comp['time_cost'])
         comp['homotopy_cost'] = sum(comp[name + '_cost'] for name in PHI_NAMES)
+
+        # landing/transition terminal costs (objective.py:301-337)
+        x_term = terminal_x(V)
+        vel_sq = 0.
+        pos_sq = 0.
+        n_q = 0
+        for name in layout.names('x'):
+            if name.startswith('q'):
+                sl = layout.slices['x'][name]
+                s_val = model.scaling['x'][sl]
+                pos_sq = pos_sq + jnp.sum((x_term[sl] * s_val) ** 2)
+                n_q += 1
+            elif name.startswith('dq'):
+                sl = layout.slices['x'][name]
+                s_val = model.scaling['x'][sl]
+                vel_sq = vel_sq + jnp.sum((x_term[sl] * s_val) ** 2)
+        form_nl = options['formulation']['nominal_landing']
+        comp['nominal_landing_cost'] = P['cost']['nominal_landing'] * (
+            form_nl['velocity_weight'] * vel_sq / max(n_q, 1)
+            + form_nl['position_weight'] * pos_sq / max(n_q, 1))
+        comp['transition_cost'] = P['cost']['transition'] * (
+            comp['xdot_regularisation_cost'] + comp['u_regularisation_cost'])
         return comp
 
     def f_fn(V, P):
@@ -471,12 +562,18 @@ def build_ocp(model: Model, options: dict) -> OCP:
             objective = psi * comp['tracking_problem_cost'] \
                 + (1. - psi) * comp['power_problem_cost'] \
                 + comp['general_problem_cost'] + comp['homotopy_cost']
-        elif traj_type in ('tracking', 'mpc'):
+        elif traj_type in ('tracking', 'mpc', 'transition', 'nominal_landing',
+                           'compromised_landing', 'launch'):
+            # homotopy blend of objective.py:445-450: tracking fades out
+            # through upsilon*nu*eta*psi, the landing/transition costs fade
+            # in through (1-eta) / (1-upsilon)
             upsilon = phi[PHI_NAMES.index('upsilon')]
             nu_h = phi[PHI_NAMES.index('nu')]
             eta = phi[PHI_NAMES.index('eta')]
             objective = upsilon * nu_h * eta * psi * comp['tracking_problem_cost'] \
                 + (1. - psi) * comp['power_problem_cost'] \
+                + (1. - eta) * comp['nominal_landing_cost'] \
+                + (1. - upsilon) * comp['transition_cost'] \
                 + comp['general_problem_cost'] + comp['homotopy_cost']
         else:
             raise NotImplementedError(f'trajectory type {traj_type}')
@@ -515,6 +612,13 @@ def build_ocp(model: Model, options: dict) -> OCP:
               normalization=normalization,
               single_reelout=single_reelout, periodic=periodic,
               assemble_nodes_fn=assemble_nodes)
+
+    if with_xi:
+        ocp.table_init = np.asarray(table_init) if table_init is not None \
+            else None
+        ocp.table_term = np.asarray(table_term) if table_term is not None \
+            else None
+        ocp.table_T_src = table_T_src
 
     # vortex-wake induction equalities couple time nodes through the
     # wake-shedding history, so they attach at the OCP level (substituting

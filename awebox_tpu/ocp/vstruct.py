@@ -37,9 +37,11 @@ class VStruct:
     offsets: Dict[str, int]
     total: int
     u_param: str = 'zoh'
+    with_xi: bool = False    # xi_0/xi_f boundary-trajectory parameters
 
     @staticmethod
-    def build(layout, n_k, d, phase_fix_single_reelout: bool, u_param='zoh'):
+    def build(layout, n_k, d, phase_fix_single_reelout: bool, u_param='zoh',
+              with_xi: bool = False):
         nx = layout.dims['x']
         nu = layout.dims['u']
         nxd = layout.dims['xdot']
@@ -58,21 +60,25 @@ class VStruct:
         cursor = 0
         offsets['theta'] = cursor; cursor += ntheta
         offsets['phi'] = cursor; cursor += len(PHI_NAMES)
+        if with_xi:   # xi = [xi_0, xi_f] (var_struct.py:39 'xi' entry)
+            offsets['xi'] = cursor; cursor += 2
         offsets['x'] = cursor; cursor += (n_k + 1) * nx
-        if u_param == 'zoh':
+        if u_param in ('zoh', 'ms'):
             offsets['u'] = cursor; cursor += n_k * nu
             offsets['xdot'] = cursor; cursor += n_k * nxd
             offsets['z'] = cursor; cursor += n_k * nz
         elif u_param != 'poly':
             raise ValueError(f'unknown u_param {u_param!r}')
-        offsets['coll_x'] = cursor; cursor += n_k * d * nx
-        offsets['coll_z'] = cursor; cursor += n_k * d * nz
+        if u_param != 'ms':   # multiple shooting carries no stage variables
+            offsets['coll_x'] = cursor; cursor += n_k * d * nx
+            offsets['coll_z'] = cursor; cursor += n_k * d * nz
         if u_param == 'poly':
             offsets['coll_u'] = cursor; cursor += n_k * d * nu
 
         return VStruct(n_k=n_k, d=d, nx=nx, nu=nu, nxd=nxd, nz=nz,
                        theta_names=theta_names, theta_dims=theta_dims,
-                       offsets=offsets, total=cursor, u_param=u_param)
+                       offsets=offsets, total=cursor, u_param=u_param,
+                       with_xi=with_xi)
 
     # --- slices -----------------------------------------------------------
     @property
@@ -90,6 +96,13 @@ class VStruct:
     @property
     def phi_slice(self) -> slice:
         return slice(self.offsets['phi'], self.offsets['phi'] + len(PHI_NAMES))
+
+    @property
+    def xi_slice(self) -> slice:
+        return slice(self.offsets['xi'], self.offsets['xi'] + 2)
+
+    def get_xi(self, V):
+        return V[self.xi_slice]
 
     def x_slice(self, k) -> slice:
         start = self.offsets['x'] + k * self.nx

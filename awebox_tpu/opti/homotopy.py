@@ -23,7 +23,8 @@ from .ipsolver import InteriorPointSolver, IPOptions
 from ..utils.logging import awelogger
 
 COST_NAMES = ['tracking', 'u_regularisation', 'xdot_regularisation',
-              'theta_regularisation', 'fictitious', 'power', 't_f', 'beta'] \
+              'theta_regularisation', 'fictitious', 'power', 't_f', 'beta',
+              'nominal_landing', 'transition', 'compromised_battery'] \
     + list(PHI_NAMES)
 
 
@@ -45,6 +46,13 @@ def define_schedule(ocp):
         steps.append('induction')
     if traj_type == 'power_cycle':
         steps.append('power')
+    elif traj_type in ('nominal_landing', 'compromised_landing'):
+        # landing branch of scheduling.py:89-97
+        steps.append('nominal_landing')
+        if traj_type == 'compromised_landing':
+            steps.append('compromised_landing')
+    elif traj_type == 'transition':
+        steps.append('transition')
     steps.append('final')
 
     model = ocp.model
@@ -56,6 +64,9 @@ def define_schedule(ocp):
         'fictitious': {0: ['gamma', 'fictitious'], 1: ['gamma']},
         'induction': {0: ['iota'], 1: ['iota']},
         'power': {0: ['power', 'psi', 'fictitious'], 1: ['tracking', 'psi']},
+        'nominal_landing': {0: ['nominal_landing', 'eta'], 1: []},
+        'transition': {0: ['transition', 'upsilon'], 1: []},
+        'compromised_landing': {0: ['compromised_battery', 'nu'], 1: []},
         'final': {0: []},
     }
     bounds_to_update = {
@@ -67,6 +78,18 @@ def define_schedule(ocp):
         'power': {0: [('phi_lb_zero', 'psi')] +
                      ([('restore_phase_fix', None)] if ocp.switch_kdx < ocp.n_k else []),
                   1: [('phi_ub_zero', 'psi')]},
+        # scheduling.py:207-232: release the tether control + theta, then
+        # walk eta/upsilon/nu down
+        'nominal_landing': {0: [('release_control', tether_control),
+                                ('release_theta', None),
+                                ('phi_lb_zero', 'eta')],
+                            1: [('phi_ub_zero', 'eta')]},
+        'transition': {0: [('release_control', tether_control),
+                           ('release_theta', None),
+                           ('phi_lb_zero', 'upsilon')],
+                       1: [('phi_ub_zero', 'upsilon')]},
+        'compromised_landing': {0: [('phi_lb_zero', 'nu')],
+                                1: [('phi_ub_zero', 'nu')]},
         'final': {0: []},
     }
     labels = {
@@ -76,9 +99,20 @@ def define_schedule(ocp):
         'induction': {0: 'Introduce induction constraints...',
                       1: 'Enforce induction constraints...'},
         'power': {0: 'Switch to power problem...', 1: 'Maximize average power...'},
+        'nominal_landing': {0: 'Introduce landing objective...',
+                            1: 'Enforce landing objective...'},
+        'transition': {0: 'Introduce transition objective...',
+                       1: 'Enforce transition objective...'},
+        'compromised_landing': {0: 'Introduce emergency scenario...',
+                                1: 'Enforce emergency scenario...'},
         'final': {0: 'Final solution.'},
     }
     used_phis = {'gamma', 'psi'} | ({'iota'} if make_induction_step else set())
+    if traj_type != 'power_cycle':
+        # the tracking blend multiplies upsilon*nu*eta*psi: every factor not
+        # actively walked by the schedule must stay PINNED AT 1 (not zeroed
+        # as 'unused'), so all three join used_phis for these types
+        used_phis |= {'eta', 'nu', 'upsilon'}
     schedule = {'steps': steps, 'costs_to_update': costs_to_update,
                 'bounds_to_update': bounds_to_update, 'labels': labels,
                 'used_phis': used_phis}
@@ -136,7 +170,7 @@ def _u_entry_slices(ocp, rel):
     """V-slices of one control entry across all nodes where controls live
     (shooting nodes under zoh, collocation nodes under poly)."""
     vs = ocp.vstruct
-    if vs.u_param == 'zoh':
+    if vs.u_param in ('zoh', 'ms'):
         for k in range(ocp.n_k):
             s = vs.u_slice(k)
             yield slice(s.start + rel.start, s.start + rel.stop)
@@ -301,7 +335,9 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
     # block-tridiagonal structure
     dense_only = induction in ('vortex', 'averaged') \
         or ocp.options['model']['integral_outputs'] \
-        or ocp.vstruct.u_param == 'poly'
+        or ocp.vstruct.u_param in ('poly', 'ms') \
+        or getattr(ocp.vstruct, 'with_xi', False) \
+        or ocp.options['user_options']['trajectory']['type'] == 'mpc'
     if use_structured is not None:      # legacy knob from round 1
         choice = 'block' if use_structured else 'dense'
     if choice == 'auto':

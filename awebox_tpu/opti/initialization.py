@@ -200,12 +200,13 @@ def build_initial_guess(ocp) -> np.ndarray:
             z_init[sl] = a_ref / model.scaling['z'][sl]
         elif name.startswith(('acos_', 'asin_')):
             z_init[sl] = 0.
-    if vs.u_param == 'zoh':
+    if vs.u_param in ('zoh', 'ms'):
         for k in range(n_k):
             V[vs.z_slice(k)] = z_init
-    for k in range(n_k):
-        for j in range(d):
-            V[vs.coll_z_slice(k, j)] = z_init
+    if vs.u_param != 'ms':
+        for k in range(n_k):
+            for j in range(d):
+                V[vs.coll_z_slice(k, j)] = z_init
 
     # theta
     init_theta = options['processed']['initialization_theta']
@@ -239,10 +240,59 @@ def build_initial_guess(ocp) -> np.ndarray:
                 out[sl] = a_ref / scale_x[sl]
         return out
 
+    # boundary-trajectory types initialize along the saved source trajectory
+    # (landing/transition scenario initializers, initialization_dir/
+    # landing_scenario.py + transition_scenario.py, pragmatic version):
+    # nodes sweep the table from xi_0_initial to 1, so the guess is a
+    # dynamically consistent piece of the source orbit
+    table_init = getattr(ocp, 'table_init', None)
+    if vs.with_xi and table_init is not None:
+        xi0 = float(options['user_options']['trajectory']
+                    ['compromised_landing']['xi_0_initial'])
+        n_tab = table_init.shape[0]
+        # the guess flies the remainder of the SOURCE trajectory, so its
+        # duration (not the circular-path estimate) sets t_f — otherwise
+        # the polynomial xdot guess is off by the time-scale ratio and the
+        # shooting residuals start O(10)
+        T_src = getattr(ocp, 'table_T_src', None)
+        if T_src is not None:
+            tf_guess = max((1. - xi0) * float(T_src), 1.)
+            for name in vs.theta_names:
+                if name == 't_f':
+                    scale = model.scaling['theta'][
+                        layout.slices['theta']['t_f']]
+                    V[vs.theta_slice(name)] = tf_guess / scale[0]
+
+        from ..ocp.operation import interp_table as _interp
+
+        def table_x(theta):
+            # the exact interpolant the param_initial pin uses, so the pin
+            # residual is zero at the guess
+            import jax.numpy as jnp
+            return np.asarray(_interp(jnp.asarray(table_init),
+                                      jnp.asarray(theta)))
+
+        for k in range(n_k + 1):
+            theta_k = xi0 + (1. - xi0) * k / n_k
+            V[vs.x_slice(k)] = table_x(theta_k)
+            if k < n_k and vs.u_param != 'ms':
+                for j in range(d):
+                    theta_c = xi0 + (1. - xi0) * (k + ocp.coll.tau_root[1 + j]) / n_k
+                    V[vs.coll_x_slice(k, j)] = table_x(theta_c)
+        V[vs.xi_slice] = np.array([xi0, 0.])
+        if vs.u_param == 'zoh':
+            C = ocp.coll.coeff_collocation
+            h = 1. / n_k
+            for k in range(n_k):
+                X_stack = np.stack([V[vs.x_slice(k)]] +
+                                   [V[vs.coll_x_slice(k, j)] for j in range(d)])
+                V[vs.xdot_slice(k)] = (C[:, 0] @ X_stack) / (h * tf_guess)
+        return V
+
     for k in range(n_k + 1):
         ret = guess_values_at_time(t_x[k], options, arch, model, pre)
         V[vs.x_slice(k)] = pack_x(ret)
-        if k < n_k:
+        if k < n_k and vs.u_param != 'ms':
             for j in range(d):
                 t_coll = t_x[k] + ocp.coll.tau_root[1 + j] * tf_guess / n_k
                 ret_c = guess_values_at_time(t_coll, options, arch, model, pre)
@@ -250,7 +300,8 @@ def build_initial_guess(ocp) -> np.ndarray:
                 # coll z stays at scaled 1
 
     # xdot from the interpolating polynomial (initialization.py:240-246);
-    # poly controls carry no shooting-node xdot block
+    # poly controls carry no shooting-node xdot block; multiple shooting has
+    # no collocation points, so use a central finite difference of the guess
     if vs.u_param == 'zoh':
         C = ocp.coll.coeff_collocation
         h = 1. / n_k
@@ -260,6 +311,14 @@ def build_initial_guess(ocp) -> np.ndarray:
             xdot0_scaled_x = (C[:, 0] @ X_stack) / (h * tf_guess)
             # convert x-scaled derivative to xdot scaling (identical vectors)
             V[vs.xdot_slice(k)] = xdot0_scaled_x
+    elif vs.u_param == 'ms':
+        eps = 1e-4 * pre['winding_period']
+        for k in range(n_k):
+            rp = pack_x(guess_values_at_time(t_x[k] + eps, options, arch,
+                                             model, pre))
+            rm = pack_x(guess_values_at_time(t_x[k] - eps, options, arch,
+                                             model, pre))
+            V[vs.xdot_slice(k)] = (rp - rm) / (2. * eps)
 
     return V
 
@@ -300,8 +359,9 @@ def build_reference(ocp, V_init: np.ndarray) -> np.ndarray:
     for k in range(ocp.n_k):
         sl = vs.x_slice(k)
         V_ref[sl] = stagger_block(V_init[sl])
-        for j in range(ocp.d):
-            slc = vs.coll_x_slice(k, j)
-            V_ref[slc] = stagger_block(V_init[slc])
+        if vs.u_param != 'ms':
+            for j in range(ocp.d):
+                slc = vs.coll_x_slice(k, j)
+                V_ref[slc] = stagger_block(V_init[slc])
 
     return V_ref

@@ -285,7 +285,11 @@ class InteriorPointSolver:
 
         mu = float(o.mu_init if mu is None else mu)
         cI = self.ineq(w, p) if self.n_ineq else jnp.zeros(0)
-        s = jnp.maximum(-cI, o.slack_min * 10)
+        # |cI| (not -cI): rows VIOLATED at the start (cI > 0, e.g. landing
+        # terminal radii) need slacks at the violation scale, or the
+        # fraction-to-boundary rule collapses onto the tiny slack and the
+        # iteration jams at alpha ~ s/|cI|
+        s = jnp.maximum(jnp.abs(cI), o.slack_min * 10)
         s = jnp.maximum(s, mu / 100.)
         y = jnp.zeros(self.n_eq) if y0 is None else jnp.asarray(y0)
         lam = jnp.maximum(mu / s, 1e-8) if lam0 is None else jnp.maximum(jnp.asarray(lam0), 1e-8)

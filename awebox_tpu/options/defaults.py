@@ -15,7 +15,10 @@ def default_options_tree():
 
     user_options = {
         'trajectory': {
-            'type': 'power_cycle',            # power_cycle | tracking | mpc
+            # power_cycle | tracking | mpc | transition | nominal_landing |
+            # compromised_landing | launch (reference default.py:41 +
+            # ocp/operation.py:52-118)
+            'type': 'power_cycle',
             'system_type': 'lift_mode',       # lift_mode | drag_mode
             'lift_mode': {
                 'windings': 3,
@@ -24,6 +27,12 @@ def default_options_tree():
                 'pumping_range': None,
             },
             'tracking': {'fix_tether_length': False},
+            # xi-parameterized boundary trajectories: saved-trial filenames
+            # or Trial objects (reference default.py:47-48)
+            'transition': {'initial_trajectory': None,
+                           'terminal_trajectory': None},
+            'compromised_landing': {'emergency_scenario': ('broken_lift', 2),
+                                    'xi_0_initial': 0.0},
             'fixed_params': {},
         },
         'system_model': {
@@ -92,6 +101,9 @@ def default_options_tree():
                 'far_wake_element_type': 'semi_infinite_filament',
                 'core_to_chord_ratio': 0.05,
                 'filament_strength_from_circulation': 'averaged',
+                # cylinder far-wake smoothing (reference default.py:132-133)
+                'epsilon_m': 1.e-8,
+                'epsilon_r': 1.e-8,
             },
             # actuator-disk options (reference opts/default.py:108-123)
             'actuator': {
@@ -167,8 +179,12 @@ def default_options_tree():
 
     nlp = {
         'n_k': 40,
-        'discretization': 'direct_collocation',
+        'discretization': 'direct_collocation',  # or 'multiple_shooting'
         'collocation': {'d': 4, 'scheme': 'radau', 'u_param': 'zoh'},
+        # multiple shooting: rk4root substeps per interval and Newton
+        # corrections per RK stage (ocp/multiple_shooting.py)
+        'ms_integrator_steps': 1,
+        'ms_newton_iters': 1,
         'phase_fix_reelout': 0.7,
         'pumping_range': [None, None],
         'cost': {
@@ -236,6 +252,10 @@ def default_options_tree():
             'power':                [0.],   # [1] filled by derived options
             't_f':                  [0.],
             'beta':                 [1e3],
+            # landing/transition ladders (reference default.py:430-457)
+            'nominal_landing':      [0., 1e-2],
+            'transition':           [0., 1e-1],
+            'compromised_battery':  [0., 1e1, 0.],
         },
         'callback': False,       # per-iteration recording (tools/callback.py)
         'callback_step': 1,
@@ -251,7 +271,8 @@ def default_options_tree():
         'ref_interpolator': 'spline',
     }
 
-    sim = {'number_of_finite_elements': 20}
+    sim = {'number_of_finite_elements': 20,
+           'integrator': 'collocation'}  # collocation | rk4root
 
     quality = {
         'when': 'final_success',
@@ -268,6 +289,17 @@ def default_options_tree():
     visualization = {'cosmetics': {'interpolation': {'n_points': 100},
                                    'plot_coll': True}}
 
+    # landing/transition formulation parameters (reference
+    # default.py:258-262)
+    formulation = {
+        'nominal_landing': {
+            'main_node_radius': 40.,
+            'kite_node_radius': 80.,
+            'position_weight': 0.,
+            'velocity_weight': 10.,
+        },
+    }
+
     return {
         'user_options': user_options,
         'params': params,
@@ -278,4 +310,5 @@ def default_options_tree():
         'sim': sim,
         'quality': quality,
         'visualization': visualization,
+        'formulation': formulation,
     }

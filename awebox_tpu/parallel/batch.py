@@ -54,7 +54,9 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             dense_only = (
                 ocp.model.cfg.get('induction_model') in ('vortex', 'averaged')
                 or ocp.options['model']['integral_outputs']
-                or ocp.vstruct.u_param == 'poly')
+                or ocp.vstruct.u_param in ('poly', 'ms')
+                or getattr(ocp.vstruct, 'with_xi', False)
+                or ocp.options['user_options']['trajectory']['type'] == 'mpc')
             kkt = 'dense' if dense_only else 'block'
 
     if kkt == 'block':
@@ -68,7 +70,9 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             hasattr(ocp, 'model')
             and ocp.vstruct.u_param == 'zoh'
             and ocp.model.cfg.get('induction_model') not in ('vortex', 'averaged')
-            and not ocp.options['model']['integral_outputs'])
+            and not ocp.options['model']['integral_outputs']
+            and not getattr(ocp.vstruct, 'with_xi', False)
+            and ocp.options['user_options']['trajectory']['type'] != 'mpc')
         if structured_ok:
             from ..ocp.structured import make_structured_derivs
             derivs_fn = make_structured_derivs(ocp)
@@ -270,7 +274,7 @@ def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
 
 def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
                         axis_name: str = 'scenario', batch_p: bool = False,
-                        tol: float = 0.0):
+                        tol: float = 0.0, kkt: str = 'auto'):
     """vmapped + sharded IP solve over a scenario batch.
 
     Returns solve(batched_state, P) jitted; if a Mesh is given, the
@@ -293,7 +297,7 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
     ubw = jnp.asarray(ubw)
     free = jnp.asarray(free_np)
 
-    step = make_ip_step(ocp)
+    step = make_ip_step(ocp, kkt=kkt)
 
     def solve_one(state, p):
         if tol > 0.:
@@ -367,7 +371,7 @@ def _single_state(ocp, V0, P, lb, ub, mu0):
     w = np.clip(w, np.where(np.isfinite(lbw), lbw + span, -np.inf),
                 np.where(np.isfinite(ubw), ubw - span, np.inf))
     cI = np.asarray(ocp.ineq_fn(jnp.asarray(w), P))
-    s = np.maximum(-cI, mu0)
+    s = np.maximum(np.abs(cI), mu0)   # violation-scale slacks (see ipsolver)
     lam = np.maximum(mu0 / s, 1e-8)
     dl = np.where(np.isfinite(lbw), np.maximum(w - lbw, 1e-8), np.inf)
     du = np.where(np.isfinite(ubw), np.maximum(ubw - w, 1e-8), np.inf)

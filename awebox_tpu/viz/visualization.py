@@ -281,6 +281,238 @@ def plot_animation_snapshots(plot_dict, arch, fig_name='animation',
 
 import numpy as np  # noqa: E402  (used by plot_power)
 
+
+def plot_loyd_comparison(plot_dict, arch, fig_name='loyd_comparison'):
+    """Actual power vs per-kite Loyd limit (reference output.plot_loyd_
+    comparison)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    perf = plot_dict['outputs']['performance']
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    axes[0].plot(t, np.ravel(perf['p_current']) / 1e3, label='p_current')
+    for name, arr in perf.items():
+        if name.startswith('p_loyd'):
+            axes[0].plot(t, np.ravel(arr) / 1e3, '--', label=name)
+    axes[0].set_ylabel('P [kW]')
+    for name in ('loyd_factor', 'phf', 'phf_hubheight'):
+        if name in perf:
+            axes[1].plot(t, np.ravel(perf[name]), label=name)
+    axes[1].set_ylabel('[-]')
+    for ax in axes:
+        ax.grid(True)
+        ax.legend(fontsize=7, loc='upper right')
+    axes[-1].set_xlabel('t [s]')
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_aero_validity(plot_dict, arch, fig_name='aero_dimensionless'):
+    """alpha/beta envelope margins (reference output.plot_aero_validity)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    av = plot_dict['outputs'].get('aero_validity', {})
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for name, arr in av.items():
+        ax.plot(t, np.ravel(arr), label=name)
+    ax.axhline(0., color='k', linewidth=1.)
+    ax.set_ylabel('validity residual (<= 0 feasible)')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7, ncol=2)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def _wake_elements_at_node(trial, m_obs=0):
+    """Reconstruct the vortex wake element set of a solved trial at shooting
+    node m_obs (numpy)."""
+    import jax
+    import jax.numpy as jnp
+    from ..model.aero.vortex import wake as wake_mod
+
+    ocp = trial.ocp
+    model = trial.model
+    V = jnp.asarray(trial.solution.V_opt)
+    P = trial.solution.P
+    theta0 = P['theta0']
+    arch = model.arch
+    kites = list(arch.kite_nodes)
+
+    shooting, _ = ocp.assemble_nodes_fn(V)
+
+    def node_quantities(vec):
+        si = model.to_si(vec)
+        q = wake_mod.kite_wake_quantities(model.cfg, si, theta0, arch)
+        return (jnp.stack([q[k]['tip_m'] for k in kites]),
+                jnp.stack([q[k]['tip_p'] for k in kites]),
+                jnp.stack([q[k]['gamma'] for k in kites]),
+                jnp.stack([q[k]['u_conv'] for k in kites]))
+
+    tips_m, tips_p, gammas, u_convs = jax.vmap(
+        node_quantities, out_axes=1)(shooting)
+    tf_k = ocp.tf_per_k_fn(V)
+    t_nodes = jnp.concatenate([jnp.zeros(1),
+                               jnp.cumsum(tf_k / ocp.n_k)])[:ocp.n_k]
+    T = ocp.time_period_fn(V)
+    return wake_mod.build_filament_set(
+        model.cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
+        t_nodes, t_nodes[m_obs], m_obs, ocp.n_k,
+        model.cfg['vortex_wake_nodes'], T)
+
+
+def plot_wake(plot_dict, arch, trial=None, side='isometric',
+              fig_name=None):
+    """Wake filament drawing at the initial node (reference viz/wake.py
+    plot_wake); requires a solved vortex trial."""
+    plt = _require_mpl()
+    if trial is None or trial.model.cfg.get('induction_model') != 'vortex':
+        raise ValueError("wake plots need a solved trial with "
+                         "induction_model='vortex'")
+    finite, semi, cyls = _wake_elements_at_node(trial, 0)
+    xs = np.asarray(finite.x_start)
+    xe = np.asarray(finite.x_end)
+    g = np.asarray(finite.strength)
+    gmax = np.abs(g).max() + 1e-12
+
+    fig = plt.figure(figsize=(8, 8))
+    if side == 'isometric':
+        ax = fig.add_subplot(projection='3d')
+        for i in range(xs.shape[0]):
+            ax.plot([xs[i, 0], xe[i, 0]], [xs[i, 1], xe[i, 1]],
+                    [xs[i, 2], xe[i, 2]],
+                    color=plt.cm.coolwarm(0.5 + 0.5 * g[i] / gmax),
+                    linewidth=1.)
+        for node in range(1, arch.number_of_nodes):
+            q = plot_dict['x'].get('q' + arch.node_label(node))
+            if q is not None:
+                ax.plot(q[0], q[1], q[2], 'k-', linewidth=0.6)
+        ax.set_xlabel('x [m]')
+        ax.set_ylabel('y [m]')
+        ax.set_zlabel('z [m]')
+    else:
+        idx = {'xy': (0, 1), 'xz': (0, 2), 'yz': (1, 2)}[side]
+        ax = fig.add_subplot()
+        for i in range(xs.shape[0]):
+            ax.plot([xs[i, idx[0]], xe[i, idx[0]]],
+                    [xs[i, idx[1]], xe[i, idx[1]]],
+                    color=plt.cm.coolwarm(0.5 + 0.5 * g[i] / gmax),
+                    linewidth=1.)
+        for node in range(1, arch.number_of_nodes):
+            q = plot_dict['x'].get('q' + arch.node_label(node))
+            if q is not None:
+                ax.plot(q[idx[0]], q[idx[1]], 'k-', linewidth=0.6)
+        ax.set_aspect('equal', adjustable='datalim')
+        ax.grid(True)
+    fig.suptitle(fig_name or f'wake_{side}')
+    return fig
+
+
+def plot_induction_contour(plot_dict, arch, trial=None, n_grid=25,
+                           fig_name='induction_contour'):
+    """Axial induction-factor contour on the plane normal to the wind
+    through the orbit center (reference viz/wake.py:391-443
+    plot_induction_contour_on_kmp), evaluated with the batched Biot-Savart
+    observer kernel."""
+    import jax.numpy as jnp
+    from ..model.aero.vortex import filaments as filmod
+    plt = _require_mpl()
+    if trial is None or trial.model.cfg.get('induction_model') != 'vortex':
+        raise ValueError("induction contours need a solved trial with "
+                         "induction_model='vortex'")
+    finite, semi, cyls = _wake_elements_at_node(trial, 0)
+
+    # orbit center + extent from the first kite's path
+    kite = arch.kite_nodes[0]
+    q = plot_dict['x']['q' + arch.node_label(kite)]
+    center = q.mean(axis=1)
+    span = 1.5 * max(q[1].max() - q[1].min(), q[2].max() - q[2].min())
+    ys = np.linspace(center[1] - span, center[1] + span, n_grid)
+    zs = np.linspace(center[2] - span, center[2] + span, n_grid)
+    YY, ZZ = np.meshgrid(ys, zs)
+    obs = np.stack([np.full(YY.size, center[0]), YY.ravel(), ZZ.ravel()],
+                   axis=1)
+    u_ind = np.asarray(filmod.induction_at_observers(
+        finite, semi, jnp.asarray(obs), cylinders=cyls))
+    u_inf = float(np.asarray(
+        trial.solution.P['theta0']['wind']['u_ref']))
+    a_grid = (-u_ind[:, 0] / u_inf).reshape(n_grid, n_grid)
+
+    fig, ax = plt.subplots(figsize=(8, 7))
+    cs = ax.contourf(YY, ZZ, a_grid, levels=20, cmap='RdBu_r')
+    fig.colorbar(cs, ax=ax, label='axial induction factor a [-]')
+    ax.plot(q[1], q[2], 'k-', linewidth=1.)
+    ax.set_xlabel('y [m]')
+    ax.set_ylabel('z [m]')
+    ax.set_aspect('equal', adjustable='datalim')
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_actuator(plot_dict, arch, side='yz', fig_name=None):
+    """Actuator annulus sketch from the geometry outputs (reference
+    viz/wake.py plot_actuator): kite paths + the swept annulus projected."""
+    plt = _require_mpl()
+    idx = {'xy': (0, 1), 'xz': (0, 2), 'yz': (1, 2)}[side]
+    fig, ax = plt.subplots(figsize=(7, 7))
+    for kite in arch.kite_nodes:
+        q = plot_dict['x'].get('q' + arch.node_label(kite))
+        if q is None:
+            continue
+        ax.plot(q[idx[0]], q[idx[1]], label='q' + arch.node_label(kite))
+        center = q.mean(axis=1)
+        radius = np.sqrt(((q[idx[0]] - center[idx[0]]) ** 2
+                          + (q[idx[1]] - center[idx[1]]) ** 2)).mean()
+        th = np.linspace(0., 2. * np.pi, 100)
+        ax.plot(center[idx[0]] + radius * np.cos(th),
+                center[idx[1]] + radius * np.sin(th), 'k--', linewidth=0.8)
+    ax.set_aspect('equal', adjustable='datalim')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name or f'actuator_{side}')
+    return fig
+
+
+def plot_outputs_group(plot_dict, arch, group, fig_name=None):
+    """Time series of every output in one top-level group (reference
+    'outputs:<name>' dynamic flags)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    grp = plot_dict['outputs'].get(group, {})
+    n = max(len(grp), 1)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 2 * n), sharex=True)
+    if n == 1:
+        axes = [axes]
+    for ax, (name, arr) in zip(axes, sorted(grp.items())):
+        arr = np.atleast_2d(np.asarray(arr))
+        if arr.shape[0] > arr.shape[-1]:
+            arr = arr.T
+        for i in range(arr.shape[0]):
+            ax.plot(t, arr[i], label=f'{name}[{i}]' if arr.shape[0] > 1
+                    else name)
+        ax.legend(fontsize=7, loc='upper right')
+        ax.grid(True)
+    axes[-1].set_xlabel('t [s]')
+    fig.suptitle(fig_name or f'outputs:{group}')
+    return fig
+
+
+def _plot_single_var(plot_dict, var_type, name, fig_name=None):
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    arr = plot_dict[var_type][name]
+    fig, ax = plt.subplots(figsize=(10, 3))
+    for i in range(arr.shape[0]):
+        if var_type == 'u':
+            ax.step(t, arr[i], where='post', label=f'{name}[{i}]')
+        else:
+            ax.plot(t, arr[i], label=f'{name}[{i}]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    ax.set_xlabel('t [s]')
+    fig.suptitle(fig_name or f'{var_type}:{name}')
+    return fig
+
+
 PLOT_REGISTRY = {
     'states': lambda pd, arch: plot_states(pd),
     'controls': lambda pd, arch: plot_controls(pd),
@@ -295,16 +527,55 @@ PLOT_REGISTRY = {
     'constraints': lambda pd, arch: plot_constraints(pd, arch),
     'quad': lambda pd, arch: plot_quad(pd, arch),
     'animation': lambda pd, arch: plot_animation_snapshots(pd, arch),
+    'animation_snapshot': lambda pd, arch: plot_animation_snapshots(
+        pd, arch, n_frames=1),
+    'loyd_comparison': lambda pd, arch: plot_loyd_comparison(pd, arch),
+    'aero_dimensionless': lambda pd, arch: plot_aero_validity(pd, arch),
+    'actuator_isometric': lambda pd, arch: plot_actuator(pd, arch, 'yz'),
+    'actuator_xy': lambda pd, arch: plot_actuator(pd, arch, 'xy'),
+    'actuator_xz': lambda pd, arch: plot_actuator(pd, arch, 'xz'),
+    'actuator_yz': lambda pd, arch: plot_actuator(pd, arch, 'yz'),
+}
+
+# flags that additionally need the solved trial (wake geometry lives in V)
+TRIAL_PLOT_REGISTRY = {
+    'wake_isometric': lambda pd, arch, tr: plot_wake(pd, arch, tr,
+                                                     'isometric'),
+    'wake_xy': lambda pd, arch, tr: plot_wake(pd, arch, tr, 'xy'),
+    'wake_xz': lambda pd, arch, tr: plot_wake(pd, arch, tr, 'xz'),
+    'wake_yz': lambda pd, arch, tr: plot_wake(pd, arch, tr, 'yz'),
+    'induction_contour': lambda pd, arch, tr: plot_induction_contour(
+        pd, arch, tr),
 }
 
 
-def plot(plot_dict, arch, flags: List[str], save_prefix=None):
+def available_flags(plot_dict=None):
+    flags = sorted(PLOT_REGISTRY) + sorted(TRIAL_PLOT_REGISTRY)
+    flags += ['states:<name>', 'controls:<name>', 'z:<name>',
+              'outputs:<group>']
+    return flags
+
+
+def plot(plot_dict, arch, flags: List[str], save_prefix=None, trial=None):
     figs = {}
     for flag in flags:
-        if flag not in PLOT_REGISTRY:
+        if flag in PLOT_REGISTRY:
+            figs[flag] = PLOT_REGISTRY[flag](plot_dict, arch)
+        elif flag in TRIAL_PLOT_REGISTRY:
+            figs[flag] = TRIAL_PLOT_REGISTRY[flag](plot_dict, arch, trial)
+        elif flag.startswith('outputs:'):
+            figs[flag] = plot_outputs_group(plot_dict, arch,
+                                            flag.split(':', 1)[1])
+        elif flag.startswith(('states:', 'controls:', 'z:')):
+            kind, name = flag.split(':', 1)
+            var_type = {'states': 'x', 'controls': 'u', 'z': 'z'}[kind]
+            if name not in plot_dict[var_type]:
+                raise KeyError(f'unknown variable {name!r} in {var_type}; '
+                               f'available: {sorted(plot_dict[var_type])}')
+            figs[flag] = _plot_single_var(plot_dict, var_type, name)
+        else:
             raise KeyError(f'unknown plot flag {flag!r}; '
-                           f'available: {sorted(PLOT_REGISTRY)}')
-        figs[flag] = PLOT_REGISTRY[flag](plot_dict, arch)
+                           f'available: {available_flags()}')
         if save_prefix:
             figs[flag].savefig(f'{save_prefix}_{flag}.png', dpi=100)
     return figs

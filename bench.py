@@ -34,7 +34,7 @@ DEADLINE_S = int(os.environ.get('BENCH_DEADLINE_S', '1500'))
 _progress = {'stage': 'startup'}
 
 B = int(os.environ.get('BENCH_B', '256'))
-N_ITER_CAP = int(os.environ.get('BENCH_N_ITER', '200'))
+N_ITER_CAP = int(os.environ.get('BENCH_N_ITER', '80'))
 ANCHOR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       'tests', 'artifacts', 'bench_anchor_nk8_d3.npz')
 PEAK_FLOPS = 197e12    # TPU v5e bf16 peak; f32 runs below this — MFU is a floor
@@ -145,8 +145,20 @@ def main():
 
     state = jax.tree_util.tree_map(to_accel, state)
     P_batch = jax.tree_util.tree_map(to_accel, P_batch)
-    solve = make_batched_solver(ocp, lbf, ubf, n_iter=N_ITER_CAP,
-                                batch_p=True, tol=tol)
+    # fixed-length SHORT scans chained host-side, NOT one tol-gated
+    # while_loop: long in-jit loops have repeatedly faulted this TPU backend
+    # ("TPU device error" after compile) while 10-20 iteration scans run
+    # reliably; convergence is still verified post-hoc through the in-jit
+    # 'err' field the step carries
+    chunk = 20
+    n_chunks = max(N_ITER_CAP // chunk, 1)
+    # kkt: 'dense' by default on this backend — the block-structured path's
+    # compiled program has repeatedly faulted the TPU ("kernel fault");
+    # dense is the proven-reliable shape at bench size. BENCH_KKT=block to
+    # re-test the structured path.
+    kkt = os.environ.get('BENCH_KKT', 'dense' if on_tpu else 'auto')
+    solve = make_batched_solver(ocp, lbf, ubf, n_iter=chunk,
+                                batch_p=True, tol=0.0, kkt=kkt)
 
     _progress['stage'] = 'XLA compile of batched solver'
     print('# compiling...', file=sys.stderr, flush=True)
@@ -156,7 +168,7 @@ def main():
     compile_s = time.time() - t_c
     print(f'# compile {compile_s:.1f}s', file=sys.stderr, flush=True)
 
-    # FLOP estimate of one solve call from XLA cost analysis (best effort)
+    # FLOP estimate of one chunk from XLA cost analysis (best effort)
     flops_per_call = None
     try:
         cost = solve.lower(state, P_batch).compile().cost_analysis()
@@ -165,12 +177,16 @@ def main():
         flops_per_call = float(cost.get('flops', 0.)) or None
     except Exception:
         pass
+    if flops_per_call:
+        flops_per_call *= n_chunks
 
     _progress['stage'] = 'timed solves'
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        out = solve(state, P_batch)
+        out = state
+        for _c in range(n_chunks):
+            out = solve(out, P_batch)
     jax.block_until_ready(out)
     elapsed = time.time() - t0
     per_call = elapsed / reps
@@ -206,7 +222,7 @@ def main():
         'value': round(float(solves_per_s), 2),
         'unit': (f'solves/s (B={B}, converged {n_conv}/{B} to kkt<={tol:g} '
                  f'+ eq<={verify_tol:g}, ampyx 3dof n_k=8 d=3 wind sweep '
-                 f'+-10%, {dtype}, {per_call*1e3:.0f} ms/call, '
+                 f'+-10%, {dtype}, kkt={kkt}, {per_call*1e3:.0f} ms/call, '
                  f'compile {compile_s:.0f}s, '
                  f'{achieved_flops/1e12:.2f} TFLOP/s, MFU~{mfu*100:.1f}% of '
                  f'bf16 peak, P_avg {p_lo/1e3:.1f}..{p_hi/1e3:.1f} kW)'),
@@ -214,5 +230,18 @@ def main():
     })
 
 
+def _main_guarded():
+    try:
+        main()
+    except BaseException as exc:   # device faults must still emit a line
+        _emit({
+            'metric': 'batched_converged_solves_per_s',
+            'value': 0.0,
+            'unit': f'solves/s (failed at stage {_progress["stage"]}: '
+                    f'{type(exc).__name__}: {str(exc)[:160]})',
+            'vs_baseline': 0.0,
+        })
+
+
 if __name__ == '__main__':
-    main()
+    _main_guarded()

@@ -26,3 +26,23 @@ try:
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 except Exception:
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def solved_trial():
+    """One fully homotopy-solved tiny 3-DOF trial shared by EVERY module
+    that needs a solved solution (e2e, viz, mpc, trajectory types, ...) —
+    session-scoped so the suite pays the solve exactly once."""
+    from awebox_tpu.api.trial import Trial
+    from tests.test_options import make_ampyx_options
+
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['nlp.n_k'] = 4
+    options['nlp.collocation.d'] = 3
+    trial = Trial(options, 'e2e_small').build()
+    trial.optimize(verbose=False)
+    assert trial.solve_succeeded
+    return trial

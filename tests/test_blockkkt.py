@@ -20,11 +20,11 @@ from awebox_tpu.opti.ipsolver import InteriorPointSolver
 pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m slow
 
 
-def _build(n_k=3, d=2, phase_fix='simple'):
+def _build(n_k=3, d=2, phase_fix='simple', kite_dof=3):
     options = Options()
     ampyx_ap2_settings.set_ampyx_ap2_settings(options)
     options['user_options.system_model.architecture'] = {1: 0}
-    options['user_options.system_model.kite_dof'] = 3
+    options['user_options.system_model.kite_dof'] = kite_dof
     options['user_options.trajectory.type'] = 'power_cycle'
     options['user_options.wind.model'] = 'power'
     options['user_options.wind.u_ref'] = 10.
@@ -142,3 +142,65 @@ def test_block_kkt_matches_dense():
 @pytest.mark.slow
 def test_block_kkt_matches_dense_single_reelout():
     _compare(_build(n_k=4, d=2, phase_fix='single_reelout'))
+
+
+@pytest.mark.slow
+def test_block_kkt_6dof_augmented_residual():
+    """6-DOF coverage: DCM/omega/surface states change the keep_rows set,
+    the beta cost enters the node scalar, and the local dimensions grow.
+
+    The condensed system here is ill-conditioned (cond(M) ~ 1e15 from the
+    1/delta_ce equality regularization), so a direction-vs-dense comparison
+    is meaningless — the dense f64 solve's own error exceeds the tolerance.
+    Instead verify the block direction satisfies the AUGMENTED KKT equations
+        W dw + A^T dnu = r1,     A dw - D dnu = -r2
+    to small relative residual (what the augmented iterative refinement in
+    blockkkt.kkt_solve guarantees; the failure mode it guards against is
+    the 1/delta_ce amplification of primal error into the duals)."""
+    trial = _build(n_k=2, d=2, kite_dof=6)
+    ocp = trial.ocp
+    st = _state_and_args(trial)
+    delta_w, delta_c, delta_ce = 1e-6, 1e-8, 1e-8
+
+    from awebox_tpu.ocp.blockkkt import make_block_kkt
+    from awebox_tpu.ocp.structured import make_structured_derivs
+    derivs_fn, kkt_solve, maps = make_block_kkt(ocp)
+    blocks = derivs_fn(st['w'], st['y'], st['lam'], st['P'])
+    dw, dy, dlam, ds, dzl, dzu, ok, info = kkt_solve(
+        blocks, st['w'], st['s'], st['y'], st['lam'], st['zl'], st['zu'],
+        st['lbw'], st['ubw'], st['free'], st['mu'],
+        delta_w, delta_c, delta_ce)
+    assert bool(ok)
+
+    derivs = make_structured_derivs(ocp)
+    fval, gradf, cE, cI, JE, JI, H = [np.asarray(a) for a in
+                                      derivs(st['w'], st['y'], st['lam'],
+                                             st['P'])]
+    w, s, lam = np.asarray(st['w']), np.asarray(st['s']), np.asarray(st['lam'])
+    free = np.asarray(st['free'])
+    lbw, ubw, mu = np.asarray(st['lbw']), np.asarray(st['ubw']), st['mu']
+    dl = np.maximum(w - lbw, 1e-20)
+    du = np.maximum(ubw - w, 1e-20)
+    sigma = np.clip(np.asarray(st['zl']) / dl + np.asarray(st['zu']) / du,
+                    0., 1e16)
+    W = H + np.diag(sigma)
+    W = W * np.outer(free, free) + np.diag(1. - free)
+    W = W + float(info['delta_used']) * np.diag(free)
+    A = np.concatenate([JE, JI], axis=0) * free[None, :]
+    lam_safe = np.maximum(lam, 1e-12)
+    D = np.concatenate([delta_ce * np.ones(ocp.n_eq),
+                        s / lam_safe + delta_c * np.ones(ocp.n_ineq)])
+    r2 = np.concatenate([cE, cI + mu / lam_safe])
+    nu = np.concatenate([np.asarray(st['y']), lam])
+    r1 = -(gradf + A.T @ nu - mu / dl + mu / du) * free
+
+    dnu = np.concatenate([np.asarray(dy), np.asarray(dlam)])
+    dwn = np.asarray(dw)
+    res1 = W @ dwn + A.T @ dnu - r1
+    res2 = A @ dwn - D * dnu + r2
+    scale1 = np.linalg.norm(r1) + 1.
+    scale2 = np.linalg.norm(r2) + np.linalg.norm(D * dnu) + 1.
+    # primal equation: refinement floor ~ cond(M)^2 * eps^2 levels out near
+    # 1e-7 relative here; dual equation: exact by construction of dnu
+    assert np.linalg.norm(res1) / scale1 < 1e-5, np.linalg.norm(res1) / scale1
+    assert np.linalg.norm(res2) / scale2 < 1e-10, np.linalg.norm(res2) / scale2

@@ -1,0 +1,67 @@
+"""Closed-loop MPC + simulation on a solved tiny trial.
+
+Covers the reference's mpc_closed_loop example path
+(/root/reference/examples/mpc_closed_loop.py:19-40 + pmpc.py:221-302 +
+sim.py:114-140): build a tracking NMPC from the optimized orbit, run the
+plant (rk4root DAE) in closed loop, and check the tracking error stays
+bounded and the MPC step latency is recorded.
+"""
+import numpy as np
+import pytest
+
+# solved_trial fixture comes from tests/conftest.py (session scope)
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope='module')
+def closed_loop(solved_trial):  # noqa: F811
+    from awebox_tpu.api.sim import Simulation
+    # sampling time well below the period: one zoh control per quarter
+    # period (the n_k=4 source grid) cannot track the orbit; ts = T/16
+    # mirrors the reference demo's ts << T (examples/mpc_closed_loop.py)
+    T = solved_trial.global_outputs()['time_period']
+    sim = Simulation(solved_trial, 'closed_loop', ts=T / 16.,
+                     mpc_options={'N': 6, 'd': 2, 'max_iter': 60})
+    sim.run(4)
+    return sim
+
+
+def test_closed_loop_tracks_orbit(closed_loop):
+    errs = closed_loop.tracking_error()
+    assert len(errs) >= 4
+    assert np.all(np.isfinite(errs))
+    # boundedness, not tight tracking: the n_k=4 source orbit's interpolant
+    # carries O(1) coarse-grid truncation, so the (fine-integrator) plant
+    # cannot follow it closely no matter the controller — the reference demo
+    # uses an n_k=40 source for true tracking (examples/mpc_closed_loop.py).
+    # The controller must keep the scaled deviation bounded (~orbit scale),
+    # where an uncontrolled or fictitious-force-driven rollout diverges to
+    # 1e9 within two samples.
+    assert errs.max() < 40., errs
+    # states stay finite and physical
+    X = np.asarray(closed_loop.results['x'])
+    assert np.isfinite(X).all()
+
+
+def test_mpc_step_latency_recorded(closed_loop):
+    stats = closed_loop.mpc.stats
+    assert len(stats) == 4
+    for s in stats:
+        assert s['wall_time'] > 0.
+        assert np.isfinite(s['kkt_error'])
+    # the tracking solves actually converge to the relaxed-barrier tolerance
+    assert min(s['kkt_error'] for s in stats) < 1e-2
+
+
+def test_open_loop_simulation(solved_trial):  # noqa: F811
+    from awebox_tpu.api.sim import Simulation
+    sim = Simulation(solved_trial, 'open_loop')
+    sim.run(4)
+    X = np.asarray(sim.results['x'])
+    assert X.shape[0] == 5
+    assert np.isfinite(X).all()
+    # open-loop plant follows the orbit for a few samples (drift allowed)
+    vs = solved_trial.ocp.vstruct
+    x_orbit0 = np.asarray(vs.get_x_all(solved_trial.solution.V_opt))[0]
+    assert np.linalg.norm(X[0] - x_orbit0) < 1e-9

@@ -20,6 +20,49 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_fleet_sharded_matches_single_device():
+    """The fleet driver (parallel/fleet.py) must produce identical iterates
+    on a 1-device mesh and on the full 8-virtual-device mesh — pure data
+    parallelism, no collectives (SURVEY section 5.8)."""
+    import jax
+    import jax.numpy as jnp
+    from awebox_tpu.api.trial import Trial
+    from awebox_tpu.opti.homotopy import (build_p_fix, define_schedule,
+                                          set_initial_bounds)
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+    from awebox_tpu.parallel import fleet
+    from awebox_tpu.parallel.batch import init_batched_state, stack_p
+    from tests.test_options import make_ampyx_options
+
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['nlp.n_k'] = 3
+    options['nlp.collocation.d'] = 2
+    trial = Trial(options, 'fleet').build()
+    ocp = trial.ocp
+    V0 = build_initial_guess(ocp)
+    P = build_p_fix(ocp, build_reference(ocp, V0))
+    schedule = define_schedule(ocp)
+    lb, ub = set_initial_bounds(ocp, trial.lb_nominal, trial.ub_nominal, V0,
+                                schedule)
+    B = 8
+    rng = np.random.default_rng(3)
+    batch = [V0 + 1e-4 * rng.normal(size=V0.shape) for _ in range(B)]
+    state = init_batched_state(ocp, batch, P, lb, ub)
+    P_batch = stack_p([P] * B)
+
+    out_1, _ = fleet.run_fleet(ocp, lb, ub, state, P_batch,
+                               mesh=fleet.fleet_mesh(jax.devices()[:1]),
+                               n_iter=3)
+    out_n, _ = fleet.run_fleet(ocp, lb, ub, state, P_batch,
+                               mesh=fleet.fleet_mesh(), n_iter=3)
+    np.testing.assert_allclose(np.asarray(out_n['w']),
+                               np.asarray(out_1['w']), rtol=1e-10, atol=1e-12)
+    assert np.isfinite(np.asarray(out_n['w'])).all()
+
+
 def test_ip_step_ladder_recovers_from_indefinite():
     """The in-jit regularization ladder must produce finite iterates even
     when the Hessian is indefinite / non-finite (the round-1 failure mode)."""

