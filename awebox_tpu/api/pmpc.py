@@ -26,14 +26,23 @@ from ..opti.ipsolver import InteriorPointSolver, IPOptions
 
 class Pmpc:
     def __init__(self, trial, N: int = 10, d: int = None, ts: float = None,
-                 max_iter: int = 60, mu_mpc: float = 1e-3):
-        """trial: an optimized Trial (the periodic orbit to track)."""
+                 max_iter: int = 60, mu_mpc: float = 1e-3,
+                 cost_type: str = 'tracking'):
+        """trial: an optimized Trial (the periodic orbit to track).
+
+        cost_type: 'tracking' follows the reference orbit (pmpc.py:326-353);
+        'economic' keeps the power objective live over the horizon with a
+        light tracking regularization (reference pmpc.py:141-151 economic
+        solver: power economics + Q/R/P deviation weights)."""
         self.trial = trial
         mpc_opts = trial.options['mpc']
         self.N = int(N or mpc_opts['N'])
         self.d = int(d or mpc_opts['d'])
         self.max_iter = max_iter
         self.mu_mpc = mu_mpc
+        if cost_type not in ('tracking', 'economic'):
+            raise ValueError(f'unknown mpc cost_type {cost_type!r}')
+        self.cost_type = cost_type
 
         self.T = trial.global_outputs()['time_period']
         self.ts = float(ts) if ts is not None else self.T / (trial.ocp.n_k)
@@ -60,11 +69,19 @@ class Pmpc:
         # parameter template + solver
         V_ref0 = self.reference_V(0.)
         self.P = hm.build_p_fix(self.ocp, V_ref0)
-        # mpc costs: pure tracking (pmpc.py:326-353)
+        # mpc costs: pure tracking (pmpc.py:326-353), or economic power
+        # objective with light deviation regularization (pmpc.py:141-151)
         import jax.numpy as jnp
         for name in self.P['cost']:
             self.P['cost'][name] = jnp.asarray(0.)
-        self.P['cost']['tracking'] = jnp.asarray(1.)
+        if self.cost_type == 'economic':
+            # psi is pinned at 1/2 (see _bounds_for): the homotopy blend
+            # (1-psi)*power + psi*tracking then carries BOTH terms; weights
+            # are doubled so the effective weights are power=1, tracking=1e-2
+            self.P['cost']['power'] = jnp.asarray(2.)
+            self.P['cost']['tracking'] = jnp.asarray(2e-2)
+        else:
+            self.P['cost']['tracking'] = jnp.asarray(1.)
         self.P['cost']['u_regularisation'] = jnp.asarray(1e-6)
         self.P['cost']['xdot_regularisation'] = jnp.asarray(1e-8)
 
@@ -97,7 +114,13 @@ class Pmpc:
         self._orbit_X = np.asarray(tvs.get_x_all(V))
         self._orbit_CX = np.asarray(tvs.get_coll_x(V))
         self._orbit_CZ = np.asarray(tvs.get_coll_z(V))
-        self._orbit_U = np.asarray(tvs.get_u_all(V))
+        if tvs.u_param == 'poly':
+            # quadrature-averaged per-interval control of the source orbit
+            qw = np.asarray(tocp.coll.quad_weights)
+            self._orbit_U = np.einsum('j,kju->ku', qw,
+                                      np.asarray(tvs.get_coll_u(V)))
+        else:
+            self._orbit_U = np.asarray(tvs.get_u_all(V))
         self._orbit_nk = tocp.n_k
         self._orbit_coll = tocp.coll
         self._orbit_tfk = tf_k
@@ -135,18 +158,22 @@ class Pmpc:
                 V_ref[vs.theta_slice(name)] = val
         V_ref[vs.phi_slice] = 1.
 
+        poly = vs.u_param == 'poly'
         for k in range(self.N + 1):
             t = t0 + k * self.ts
             x, z, u = self._orbit_at(t)
             V_ref[vs.x_slice(k)] = x
             if k < self.N:
-                V_ref[vs.u_slice(k)] = u
-                V_ref[vs.z_slice(k)] = z
+                if not poly:
+                    V_ref[vs.u_slice(k)] = u
+                    V_ref[vs.z_slice(k)] = z
                 for j in range(self.d):
                     tc = t + self.ocp.coll.tau_root[1 + j] * self.ts
-                    xc, zc, _ = self._orbit_at(tc)
+                    xc, zc, uc = self._orbit_at(tc)
                     V_ref[vs.coll_x_slice(k, j)] = xc
                     V_ref[vs.coll_z_slice(k, j)] = zc
+                    if poly:
+                        V_ref[vs.coll_u_slice(k, j)] = uc
         return V_ref
 
     # ------------------------------------------------------------------
@@ -158,8 +185,9 @@ class Pmpc:
         # dynamics — gamma=1 would re-enable the fictitious forces, which
         # the zero-weight mpc cost then exploits and the plant cannot
         # realize), tracking blend psi*eta*nu*upsilon = 1
+        psi_pin = 0.5 if self.cost_type == 'economic' else 1.
         phi_final = {'gamma': 0., 'tau': 0., 'iota': 0.,
-                     'psi': 1., 'eta': 1., 'nu': 1., 'upsilon': 1.}
+                     'psi': psi_pin, 'eta': 1., 'nu': 1., 'upsilon': 1.}
         for i, name in enumerate(PHI_NAMES):
             lb[vs.phi_slice.start + i] = phi_final[name]
             ub[vs.phi_slice.start + i] = phi_final[name]
@@ -228,20 +256,32 @@ class Pmpc:
         self._V_prev = V_sol
         self._prev_res = res
         self.t_current += self.ts
-        u0 = V_sol[vs.u_slice(0)]
+        if vs.u_param == 'poly':
+            # quadrature-averaged first-interval control
+            # (reference pmpc.py:286-292 poly extraction)
+            qw = np.asarray(self.ocp.coll.quad_weights)
+            CU = np.stack([V_sol[vs.coll_u_slice(0, j)]
+                           for j in range(self.d)])
+            u0 = qw @ CU
+        else:
+            u0 = V_sol[vs.u_slice(0)]
         return u0, V_sol
 
     def _shift_solution(self, V_prev):
         """Shift the horizon by one interval (pmpc.py:300-302)."""
         vs = self.ocp.vstruct
         V = V_prev.copy()
+        poly = vs.u_param == 'poly'
         for k in range(self.N - 1):
             V[vs.x_slice(k)] = V_prev[vs.x_slice(k + 1)]
-            V[vs.u_slice(k)] = V_prev[vs.u_slice(k + 1)]
-            V[vs.z_slice(k)] = V_prev[vs.z_slice(k + 1)]
-            V[vs.xdot_slice(k)] = V_prev[vs.xdot_slice(k + 1)]
+            if not poly:
+                V[vs.u_slice(k)] = V_prev[vs.u_slice(k + 1)]
+                V[vs.z_slice(k)] = V_prev[vs.z_slice(k + 1)]
+                V[vs.xdot_slice(k)] = V_prev[vs.xdot_slice(k + 1)]
             for j in range(self.d):
                 V[vs.coll_x_slice(k, j)] = V_prev[vs.coll_x_slice(k + 1, j)]
                 V[vs.coll_z_slice(k, j)] = V_prev[vs.coll_z_slice(k + 1, j)]
+                if poly:
+                    V[vs.coll_u_slice(k, j)] = V_prev[vs.coll_u_slice(k + 1, j)]
         V[vs.x_slice(self.N)] = V_prev[vs.x_slice(self.N)]
         return V

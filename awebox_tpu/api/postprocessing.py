@@ -99,6 +99,11 @@ def interpolate_solution(trial, n_points: int = 100) -> Dict:
         'e_final': go['e_final_joules'],
         'time_period': go['time_period'],
     }
+    geom = trial.options['processed']['geometry']
+    plot_dict['geometry'] = {'b_ref': float(geom['b_ref']),
+                             'c_ref': float(geom['c_ref'])}
+    plot_dict['u_ref'] = float(
+        trial.options['user_options']['wind']['u_ref'])
     return plot_dict
 
 

@@ -94,6 +94,16 @@ def check_quality(trial, raise_exception=None) -> List[Tuple[str, bool, float, f
     add('power_harvesting_factor', zeta < tp['max_power_harvesting_factor'],
         zeta, tp['max_power_harvesting_factor'])
 
+    # vortex wake truncation (quality_funcs.py:283 test_tracked_vortex
+    # _periods): the far-wake induction left at the kites must be small
+    # relative to u_ref, else wake_nodes truncates real induction
+    if trial.model.cfg.get('induction_model') == 'vortex':
+        from ..model.aero.vortex.wake import far_wake_truncation_estimate
+        trunc = far_wake_truncation_estimate(trial)
+        add('vortex_truncation_error',
+            trunc < tp['vortex_truncation_error_thresh'], trunc,
+            tp['vortex_truncation_error_thresh'])
+
     if raise_exception is None:
         raise_exception = qopts['raise_exception']
     failed = [r for r in results if not r[1]]

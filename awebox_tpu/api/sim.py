@@ -115,3 +115,37 @@ class Simulation:
                 continue
             errs.append(np.linalg.norm(x - x_ref) / np.sqrt(x.size))
         return np.asarray(errs)
+
+    def position_error_si(self):
+        """Per-sample worst kite-position deviation from the reference orbit
+        in METERS (the physically meaningful closed-loop tracking metric;
+        reference mpc_closed_loop.py plots q vs q_ref in SI)."""
+        trial = self.trial
+        layout = trial.model.layout
+        arch = trial.arch
+        scaling = trial.model.scaling['x']
+        errs = []
+        for t, x in zip(self.results['t'], self.results['x']):
+            if self.mpc is None:
+                continue
+            x_ref, _, _ = self.mpc._orbit_at(t)
+            worst = 0.
+            for kite in arch.kite_nodes:
+                sl = layout.slices['x']['q' + arch.node_label(kite)]
+                dq = (np.asarray(x)[sl] - np.asarray(x_ref)[sl]) * scaling[sl]
+                worst = max(worst, float(np.linalg.norm(dq)))
+            errs.append(worst)
+        return np.asarray(errs)
+
+    def latency_report(self):
+        """MPC step wall time vs the real-time sampling budget ts
+        (BASELINE.md MPC target; reference pmpc.py:208-217). The first step
+        carries compilation and is reported separately."""
+        if self.mpc is None or not self.mpc.stats:
+            return None
+        lat = [s['wall_time'] for s in self.mpc.stats]
+        steady = sorted(lat[1:])[len(lat[1:]) // 2] if len(lat) > 1 else lat[0]
+        return {'ts': self.ts, 'first_step_s': lat[0],
+                'steady_median_s': steady,
+                'latency_over_ts': steady / self.ts,
+                'real_time_capable': steady < self.ts}

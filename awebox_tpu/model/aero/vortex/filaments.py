@@ -382,6 +382,114 @@ def test_tangential_cylinder_start_plane_half(epsilon=1e-3):
     assert abs(float(u[0]) - 1.) < epsilon, u
 
 
+def cylinder_geometry(cyl: SemiInfCylinders, x_obs):
+    """Observer geometry of the (possibly skewed) semi-infinite cylinder:
+    (r_obs, z_obs, m, m0, r_hat, theta_hat). `l_hat` is arbitrary — the frame
+    construction handles any axis orientation relative to the rotation plane,
+    which is the role of the reference's skewed-cylinder object
+    (semi_infinite_skewed_cylinder.py:70-131: r/z observation, regularized
+    elliptic parameter m, epsilon_m-disambiguated observational axes)."""
+    r_obs, z_obs, r_hat, theta_hat = _cylinder_frame(cyl, x_obs)
+    R = cyl.radius
+    eps_r = cyl.epsilon_r
+    m = 4. * r_obs * R / ((R + r_obs) ** 2 + z_obs ** 2 + eps_r ** 2)
+    m0 = 4. * r_obs * R / ((R + r_obs) ** 2 + eps_r ** 2)
+    return r_obs, z_obs, m, m0, r_hat, theta_hat
+
+
+def construct_test_skewed_cylinder(regularized=True):
+    """Mirror of semi_infinite_skewed_cylinder.construct_test_object:
+    unit-radius +x cylinder with (epsilon_m, epsilon_r) = (1e-5, 1) when
+    regularized."""
+    eps_m = 1e-5 if regularized else 1e-10
+    eps_r = 1. if regularized else 1e-10
+    return SemiInfCylinders(
+        x_center=jnp.array([[0., 0., 0.]]),
+        l_hat=jnp.array([[1., 0., 0.]]),
+        radius=jnp.array([1.]),
+        l_start=jnp.array([0.]),
+        epsilon_m=jnp.array([eps_m]),
+        epsilon_r=jnp.array([eps_r]),
+        tangential_strength=jnp.array([1.]),
+        longitudinal_strength=jnp.array([0.]))
+
+
+def test_skewed_r_and_z_observation(epsilon=1e-4):
+    """r/z observation on and off axis + before/at/on the cylinder
+    (semi_infinite_skewed_cylinder.py:183-251 tests)."""
+    cyl = construct_test_skewed_cylinder(regularized=False)
+    r_on, z_on, *_ = cylinder_geometry(cyl, jnp.array([10., 0., 0.]))
+    assert abs(float(r_on[0]) - 0.) < epsilon
+    assert abs(float(z_on[0]) - 10.) < epsilon
+    r_off, z_off, *_ = cylinder_geometry(cyl, jnp.array([10., 0., 3.]))
+    assert abs(float(r_off[0]) - 3.) < epsilon
+    _, z_bef, *_ = cylinder_geometry(cyl, jnp.array([-2., 0., 0.5]))
+    assert abs(float(z_bef[0]) + 2.) < epsilon
+    _, z_at, *_ = cylinder_geometry(cyl, jnp.array([0., 0., 1.]))
+    assert abs(float(z_at[0])) < epsilon
+
+
+def test_skewed_regularized_m_values(epsilon=1e-4):
+    """Regularized elliptic parameter m: < 1 at the critical point
+    (r = R, z = 0), -> 0 on axis / at large radius / far up- and downstream
+    (semi_infinite_skewed_cylinder.py:253-337 tests)."""
+    cyl = construct_test_skewed_cylinder(regularized=True)
+    _, _, m_crit, _, _, _ = cylinder_geometry(cyl, jnp.array([0., 0., 1.]))
+    assert float(m_crit[0]) < 1. - epsilon
+    expected_crit = 4. * np.sqrt(2.) / (np.sqrt(2.) + 1.) ** 2 / \
+        (1. + 1. / (np.sqrt(2.) + 1.) ** 2)
+    # regularization moves r_obs to sqrt(r^2+eps_r^2): value is finite, < 1
+    assert 0. < float(m_crit[0]) <= expected_crit + epsilon
+    for x_obs in (jnp.array([5., 0., 0.]),          # on axis (r_obs = eps_r)
+                  jnp.array([0., 0., 1e6]),         # large radius
+                  jnp.array([1e6, 0., 1.]),         # far downstream
+                  jnp.array([-1e6, 0., 1.])):       # far upstream
+        _, _, m, _, _, _ = cylinder_geometry(cyl, x_obs)
+        assert float(m[0]) < 0.5, (x_obs, m)
+
+
+def test_skewed_observational_axes(epsilon=1e-4):
+    """Axis disambiguation via epsilon_m: observer ON the cylinder axis gets
+    r_hat ~ zhat (the assumed-orthogonal direction); off-axis observers get
+    the exact radial/tangential frame
+    (semi_infinite_skewed_cylinder.py:339-411 tests)."""
+    cyl = construct_test_skewed_cylinder(regularized=True)
+    # on x_hat (the axis): r_hat degenerates; epsilon_m picks zhat
+    _, _, _, _, r_hat, theta_hat = cylinder_geometry(
+        cyl, jnp.array([10., 0., 0.]))
+    assert abs(float(r_hat[0, 2]) - 1.) < 1e-2, r_hat
+    # on z_hat: exact radial
+    _, _, _, _, r_hat, theta_hat = cylinder_geometry(
+        cyl, jnp.array([0., 0., 5.]))
+    assert abs(float(r_hat[0, 2]) - 1.) < epsilon
+    th_expected = jnp.cross(cyl.l_hat[0], r_hat[0])
+    assert float(jnp.linalg.norm(theta_hat[0] - th_expected)) < epsilon
+    # on y_hat: radial along +y, theta along l x r = -z... (x cross y = z)
+    _, _, _, _, r_hat, theta_hat = cylinder_geometry(
+        cyl, jnp.array([0., 5., 0.]))
+    assert abs(float(r_hat[0, 1]) - 1.) < 1e-2
+    assert abs(float(theta_hat[0, 2]) - 1.) < 1e-2
+
+
+def test_skewed_axis_induction_consistency(epsilon=1e-6):
+    """A cylinder with a SKEWED axis (not wind-aligned) must produce the
+    same induction as the axis-aligned cylinder under the corresponding
+    rigid rotation — the kernel is frame-covariant, which is what makes the
+    separate skewed-cylinder object of the reference unnecessary here."""
+    cyl0 = construct_test_cylinder(sigma_tan=1.3)
+    x_obs0 = jnp.array([2., 0.4, 0.1])
+    u0 = cylinder_induction(cyl0, x_obs0)[0]
+
+    # rotate axis by 30 degrees about z
+    c, s = np.cos(0.5), np.sin(0.5)
+    Rz = jnp.array([[c, -s, 0.], [s, c, 0.], [0., 0., 1.]])
+    cyl_skew = cyl0._replace(l_hat=(Rz @ cyl0.l_hat[0])[None, :])
+    u_skew = cylinder_induction(cyl_skew, Rz @ x_obs0)[0]
+    # compare in the rotated frame; the epsilon_m tie-break direction (zhat)
+    # is invariant under rotations about z, so covariance is exact here
+    assert float(jnp.linalg.norm(Rz @ u0 - u_skew)) < 1e-4, (u0, u_skew)
+
+
 def test_longitudinal_cylinder_circulation_limit(epsilon=1e-3):
     """Far downstream the longitudinal sheet acts as a 2D vortex tube:
     u_theta = sigma_l R / r outside, 0 inside

@@ -222,11 +222,17 @@ def make_vortex_residual_fn(ocp):
     n_k, d = ocp.n_k, ocp.d
     kites = list(arch.kite_nodes)
     wake_nodes = cfg['vortex_wake_nodes']
+    degree = int(cfg.get('vortex_degree_lifting', 1))
     from ...system import PHI_NAMES
     iota_idx = PHI_NAMES.index('iota')
 
     ui_slices = {k: layout.slices['z']['ui' + arch.node_label(k)]
                  for k in kites}
+    if degree >= 2:
+        uin_slices = {k: layout.slices['z']['uin' + arch.node_label(k)]
+                      for k in kites}
+        uif_slices = {k: layout.slices['z']['uif' + arch.node_label(k)]
+                      for k in kites}
 
     def node_quantities(vec, theta0):
         si = model.to_si(vec)
@@ -286,15 +292,81 @@ def make_vortex_residual_fn(ocp):
             for ki, kite in enumerate(kites):
                 sl = ui_slices[kite]
                 ui = z_vec[sl.start:sl.stop] * ui_scale[kite]
-                ui_model = fil.total_induction(finite, semi, q_obs_nodes[ki],
-                                               cylinders=cyls)
-                rows.append((iota * ui
-                             + (1. - iota) * (ui - ui_model)) / u_ref)
+                u_near = fil.total_induction(finite, None, q_obs_nodes[ki])
+                u_far = fil.total_induction(None, semi, q_obs_nodes[ki],
+                                            cylinders=cyls)
+                if degree >= 2:
+                    # substructure fixing rows + linear superposition row
+                    sln = uin_slices[kite]
+                    slf = uif_slices[kite]
+                    uin = z_vec[sln.start:sln.stop] * ui_scale[kite]
+                    uif = z_vec[slf.start:slf.stop] * ui_scale[kite]
+                    rows.append((iota * uin
+                                 + (1. - iota) * (uin - u_near)) / u_ref)
+                    rows.append((iota * uif
+                                 + (1. - iota) * (uif - u_far)) / u_ref)
+                    rows.append((ui - uin - uif) / u_ref)
+                else:
+                    ui_model = u_near + u_far
+                    rows.append((iota * ui
+                                 + (1. - iota) * (ui - ui_model)) / u_ref)
             return jnp.concatenate(rows)
 
         res = jax.vmap(one_node, in_axes=(0, 0, 0, 1))(
             t_all, m_all, z_all, q_obs_all)
         return res.reshape(-1)
 
-    n_rows = 3 * len(kites) * n_k * (1 + d)
+    rows_per_kite = 9 if degree >= 2 else 3
+    n_rows = rows_per_kite * len(kites) * n_k * (1 + d)
     return fn, n_rows
+
+
+def far_wake_truncation_estimate(trial):
+    """Estimated wake-truncation error of a solved vortex trial: the
+    kite-averaged far-wake induction magnitude over u_ref, evaluated at every
+    shooting node (reference vortex.py:423-428 `est_truncation_error`; gated
+    by quality_funcs.py:283 test_tracked_vortex_periods). A large value means
+    the semi-infinite far wake still carries significant induction at the
+    kite — increase vortex.wake_nodes."""
+    ocp = trial.ocp
+    model = ocp.model
+    cfg = model.cfg
+    arch = model.arch
+    kites = list(arch.kite_nodes)
+    n_k = ocp.n_k
+    wake_nodes = cfg['vortex_wake_nodes']
+
+    V = jnp.asarray(np.asarray(trial.solution.V_opt))
+    P = trial.solution.P
+    theta0 = P['theta0']
+    u_ref = float(np.asarray(theta0['wind']['u_ref']))
+
+    def node_quantities(vec):
+        si = model.to_si(vec)
+        q = kite_wake_quantities(cfg, si, theta0, arch)
+        return (jnp.stack([q[k]['tip_m'] for k in kites]),
+                jnp.stack([q[k]['tip_p'] for k in kites]),
+                jnp.stack([q[k]['gamma'] for k in kites]),
+                jnp.stack([q[k]['u_conv'] for k in kites]),
+                jnp.stack([q[k]['q_obs'] for k in kites]))
+
+    shooting, _ = ocp.assemble_nodes_fn(V)
+    tips_m, tips_p, gammas, u_convs, q_obs = jax.vmap(
+        node_quantities, out_axes=1)(shooting)
+    tf_k = ocp.tf_per_k_fn(V)
+    h_k = tf_k / n_k
+    t_nodes = jnp.concatenate([jnp.zeros(1), jnp.cumsum(h_k)])[:n_k]
+    T_period = ocp.time_period_fn(V)
+
+    worst = 0.
+    for m in range(n_k):
+        _, semi, cyls = build_filament_set(
+            cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
+            t_nodes, t_nodes[m], m, n_k, wake_nodes, T_period)
+        total = 0.
+        for ki in range(len(kites)):
+            u_far = fil.total_induction(None, semi, q_obs[ki, m],
+                                        cylinders=cyls)
+            total += float(jnp.linalg.norm(u_far)) / u_ref
+        worst = max(worst, total / len(kites))
+    return worst

@@ -97,8 +97,18 @@ def generate_structure(options, architecture) -> Tuple[VarLayout, List[str]]:
     # of the reference are closed-form here (aero/actuator.py).
     induction_model = user_options['induction_model']
     if induction_model not in ('not_in_use', 'averaged'):
+        vortex_lift_deg = int(options['model']['aero']['vortex']
+                              ['degree_of_induced_velocity_lifting'])
         for kite in kite_nodes:
             z += [('ui' + architecture.node_label(kite), 3)]
+            if induction_model == 'vortex' and vortex_lift_deg >= 2:
+                # degree-2 lifting: near- and far-wake induced velocities
+                # carried as separate algebraic unknowns with their own
+                # fixing rows (reference opts/default.py:139; substructure
+                # granularity replaces per-element lifting — elements are
+                # gathers here, not variables)
+                label = architecture.node_label(kite)
+                z += [('uin' + label, 3), ('uif' + label, 3)]
         for layer in architecture.layer_nodes:
             for lbl in options['processed']['act_comparison_labels']:
                 target = x if lbl[0] == 'u' else z

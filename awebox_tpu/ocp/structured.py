@@ -309,6 +309,8 @@ def make_local_kit(ocp: OCP) -> SimpleNamespace:
         coll_eq_local=coll_eq_local, sh_eq_local=sh_eq_local,
         sh_ineq_local=sh_ineq_local, coll_scalar=coll_scalar,
         sh_scalar=sh_scalar, coll_cost_local=coll_cost_local,
+        coll_model_vec=coll_model_vec, tracking_factor=tracking_factor,
+        cat_mask=cat_mask, norm=norm,
         global_cost=global_cost, glob_idx=glob_idx,
         ref_nodes_from_P=ref_nodes_from_P,
         lin_rows=lin_rows, lin_cols=lin_cols, lin_vals=lin_vals,
@@ -316,9 +318,30 @@ def make_local_kit(ocp: OCP) -> SimpleNamespace:
     )
 
 
-def make_structured_derivs(ocp: OCP) -> Callable:
+def make_structured_derivs(ocp: OCP, hessian: str = 'exact',
+                           parts: bool = False) -> Callable:
     """(w, y, lam, P) -> (fval, gradf, cE, cI, JE, JI, H) with dense outputs
-    assembled from vmapped per-node blocks."""
+    assembled from vmapped per-node blocks.
+
+    hessian='gauss_newton' replaces the exact Lagrangian Hessian blocks with
+    the Gauss-Newton curvature of the quadratic tracking objective:
+    H_node = 2 iw J_mv^T diag(w_eff) J_mv where J_mv is the (cheap) Jacobian
+    of the node's model-vector map and w_eff the per-entry tracking weight.
+    Constraint curvature (third-order AD through the Euler-Lagrange dynamics)
+    is dropped — the traced graph shrinks ~3x, trading quadratic for linear
+    local convergence; gradients and constraint Jacobians stay exact, so the
+    fixed points are unchanged.
+
+    parts=True returns (vals_fn, jac_fn, hess_fn) instead of the fused
+    function — three independently-jittable modules
+        vals_fn(w, y, lam, P) -> (fval, gradf, cE, cI)
+        jac_fn(w, P)          -> (JE, JI)
+        hess_fn(w, y, lam, P) -> H
+    so a compile-deadline-bound caller (bench.py) can compile them as
+    separate XLA modules: each lands in the persistent cache on its own and a
+    retried run resumes from whatever already compiled (the shared axon
+    compile service takes minutes-with-4x-variance per module; one monolithic
+    module has repeatedly blown the round budget)."""
     kit = make_local_kit(ocp)
     n = kit.n
     n_k, d = kit.n_k, kit.d
@@ -348,18 +371,18 @@ def make_structured_derivs(ocp: OCP) -> Callable:
     lin_vals = jnp.asarray(kit.lin_vals)
     glob_idx = jnp.asarray(kit.glob_idx)
 
-    @jax.jit
-    def derivs(w, y, lam, P):
-        theta0 = P['theta0']
+    def vals_fn(w, y, lam, P):
         fval = f_fn(w, P)
         gradf = jax.grad(f_fn)(w, P)
         cE = eq_fn(w, P)
         cI = ineq_fn(w, P)
+        return fval, gradf, cE, cI
 
+    def jac_fn(w, P):
+        theta0 = P['theta0']
         coll_locals = w[coll_idx_j]
         sh_locals = w[sh_idx_j]
 
-        # --- Jacobians ---
         J_coll = jax.vmap(jax.jacfwd(kit.coll_eq_local), in_axes=(0, 0, 0, 0, None))(
             coll_locals, c_rows_j, sel_rows_j, phase_ws_j, theta0)
         J_sh = jax.vmap(jax.jacfwd(kit.sh_eq_local), in_axes=(0, 0, None))(
@@ -383,31 +406,63 @@ def make_structured_derivs(ocp: OCP) -> Callable:
             JI = JI.at[rows_p[:, :, None], sh_idx_j[:, None, :]].add(J_path)
         for (r, c, v) in kit.ineq_lin:
             JI = JI.at[r, c].add(v)
+        return JE, JI
 
-        # --- Hessian of the Lagrangian ---
+    def hess_fn(w, y, lam, P):
+        theta0 = P['theta0']
+        coll_locals = w[coll_idx_j]
+        sh_locals = w[sh_idx_j]
         lam_coll = y[eq_slices['collocation']].reshape(n_k * d, n_eq_m)
         lam_sh = y[eq_slices['shooting']].reshape(n_k, n_sh)
         ref_vecs = kit.ref_nodes_from_P(P)
 
-        H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
-                          in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
-            coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
-            ref_vecs, lam_coll, P, theta0)
-        if n_ineq_m:
-            lam_path = lam[ocp.ineq_slices['path'].start:
-                           ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
+        if hessian == 'gauss_newton':
+            cat_mask_j = jnp.asarray(kit.cat_mask)
+
+            def coll_gn(local, c_row, sel_row, phase_w, iw, P_):
+                J_mv = jax.jacfwd(kit.coll_model_vec)(local, c_row, sel_row,
+                                                      phase_w)
+                coeff = jnp.stack([
+                    (kit.tracking_factor(local[kit.c_slices['phi']])
+                     if cat == 'tracking' else 1.0)
+                    * P_['cost'][cat] / kit.norm[cat]
+                    for cat in REG_CATEGORIES])
+                w_eff = P_['weights'] * (coeff @ cat_mask_j)
+                return 2. * iw * (J_mv * w_eff[:, None]).T @ J_mv
+
+            H_coll = jax.vmap(coll_gn, in_axes=(0, 0, 0, 0, 0, None))(
+                coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j, P)
+            H_sh = None
         else:
-            lam_path = jnp.zeros((n_k, 0))
-        H_sh = jax.vmap(jax.hessian(kit.sh_scalar), in_axes=(0, 0, 0, 0, None))(
-            sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
+            H_coll = jax.vmap(jax.hessian(kit.coll_scalar),
+                              in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+                coll_locals, c_rows_j, sel_rows_j, phase_ws_j, int_ws_j,
+                ref_vecs, lam_coll, P, theta0)
+            if n_ineq_m:
+                lam_path = lam[ocp.ineq_slices['path'].start:
+                               ocp.ineq_slices['path'].stop].reshape(n_k, n_ineq_m)
+            else:
+                lam_path = jnp.zeros((n_k, 0))
+            H_sh = jax.vmap(jax.hessian(kit.sh_scalar), in_axes=(0, 0, 0, 0, None))(
+                sh_locals, sh_phase_ws_j, lam_sh, lam_path, theta0)
 
         H = jnp.zeros((n, n))
         H = H.at[coll_idx_j[:, :, None], coll_idx_j[:, None, :]].add(H_coll)
-        H = H.at[sh_idx_j[:, :, None], sh_idx_j[:, None, :]].add(H_sh)
+        if H_sh is not None:
+            H = H.at[sh_idx_j[:, :, None], sh_idx_j[:, None, :]].add(H_sh)
 
         H_glob = jax.hessian(kit.global_cost)(w[glob_idx], P)
         H = H.at[glob_idx[:, None], glob_idx[None, :]].add(H_glob)
+        return H
 
+    if parts:
+        return vals_fn, jac_fn, hess_fn
+
+    @jax.jit
+    def derivs(w, y, lam, P):
+        fval, gradf, cE, cI = vals_fn(w, y, lam, P)
+        JE, JI = jac_fn(w, P)
+        H = hess_fn(w, y, lam, P)
         return fval, gradf, cE, cI, JE, JI, H
 
     return derivs

@@ -172,19 +172,14 @@ def guess_values_at_time(t, options, arch, model, pre):
     return ret
 
 
-def build_initial_guess(ocp) -> np.ndarray:
-    """Scaled V_init (initialization.py:47-103)."""
+def _fill_z_theta_phi(ocp, V, tf_guess):
+    """Shared guess scaffolding: z defaults, theta from processed
+    initialization values, phi = 1 (initialization.py:59-103)."""
     options = ocp.options
     model = ocp.model
-    arch = model.arch
     layout = model.layout
     vs = ocp.vstruct
     n_k, d = ocp.n_k, ocp.d
-
-    pre = precompute_path_parameters(options, arch)
-    tf_guess = pre['time_final']
-
-    V = np.zeros(vs.total)
 
     # multipliers nonzero: z entries start at scaled 1 (initialization.py:59-69)
     z_init = np.ones(vs.nz)
@@ -222,12 +217,16 @@ def build_initial_guess(ocp) -> np.ndarray:
 
     # phi = 1
     V[vs.phi_slice] = 1.
+    return V
 
-    # time grids (per-phase uniform; 'simple' phase fix => uniform)
-    tf_k = np.full(n_k, tf_guess)
-    t_x = np.concatenate([[0.], np.cumsum(tf_k / n_k)])
 
+def _make_pack_x(ocp):
+    """SI name->value dict -> scaled x vector packer."""
+    model = ocp.model
+    layout = model.layout
+    vs = ocp.vstruct
     scale_x = model.scaling['x']
+    a_ref = float(ocp.options['model']['aero']['actuator']['a_ref'])
 
     def pack_x(ret):
         out = np.zeros(vs.nx)
@@ -239,6 +238,83 @@ def build_initial_guess(ocp) -> np.ndarray:
                 sl = layout.slices['x'][name]
                 out[sl] = a_ref / scale_x[sl]
         return out
+    return pack_x
+
+
+def _xdot_from_states(ocp, V, tf_guess, fallback_eps=None, state_at=None):
+    """Fill the xdot blocks: collocation-polynomial derivative for zoh,
+    central finite difference for multiple shooting
+    (initialization.py:240-246)."""
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+    if vs.u_param == 'zoh':
+        C = ocp.coll.coeff_collocation
+        h = 1. / n_k
+        for k in range(n_k):
+            X_stack = np.stack([V[vs.x_slice(k)]] +
+                               [V[vs.coll_x_slice(k, j)] for j in range(d)])
+            V[vs.xdot_slice(k)] = (C[:, 0] @ X_stack) / (h * tf_guess)
+    elif vs.u_param == 'ms' and state_at is not None:
+        eps = fallback_eps if fallback_eps is not None else 1e-4 * tf_guess
+        t_nodes = np.linspace(0., tf_guess, n_k + 1)
+        for k in range(n_k):
+            rp = state_at(t_nodes[k] + eps)
+            rm = state_at(t_nodes[k] - eps)
+            V[vs.xdot_slice(k)] = (rp - rm) / (2. * eps)
+    return V
+
+
+def pack_guess_frame(ocp, conf_at, T_guess):
+    """Pack a complete scaled guess from a tau->SI-configuration function
+    (tau in [0, 1] over the horizon). Shared by the modular initializer
+    (opti/modular_init.py)."""
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+    V = np.zeros(vs.total)
+    _fill_z_theta_phi(ocp, V, T_guess)
+    pack_x = _make_pack_x(ocp)
+
+    for k in range(n_k + 1):
+        V[vs.x_slice(k)] = pack_x(conf_at(k / n_k))
+        if k < n_k and vs.u_param != 'ms':
+            for j in range(d):
+                tau_c = (k + ocp.coll.tau_root[1 + j]) / n_k
+                V[vs.coll_x_slice(k, j)] = pack_x(conf_at(tau_c))
+
+    def state_at(t):
+        return pack_x(conf_at(np.clip(t / T_guess, 0., 1.)))
+
+    return _xdot_from_states(ocp, V, T_guess,
+                             fallback_eps=1e-4 * T_guess, state_at=state_at)
+
+
+def build_initial_guess(ocp) -> np.ndarray:
+    """Scaled V_init (initialization.py:47-103). Dispatches to the modular
+    primitive-scheduled initializer when solver.initialization.type =
+    'modular' (reference initialization_dir/modular.py role)."""
+    from .modular_init import maybe_modular
+    V_mod = maybe_modular(ocp)
+    if V_mod is not None:
+        return V_mod
+
+    options = ocp.options
+    model = ocp.model
+    arch = model.arch
+    layout = model.layout
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+
+    pre = precompute_path_parameters(options, arch)
+    tf_guess = pre['time_final']
+
+    V = np.zeros(vs.total)
+    _fill_z_theta_phi(ocp, V, tf_guess)
+
+    # time grids (per-phase uniform; 'simple' phase fix => uniform)
+    tf_k = np.full(n_k, tf_guess)
+    t_x = np.concatenate([[0.], np.cumsum(tf_k / n_k)])
+
+    pack_x = _make_pack_x(ocp)
 
     # boundary-trajectory types initialize along the saved source trajectory
     # (landing/transition scenario initializers, initialization_dir/

@@ -104,6 +104,12 @@ def default_options_tree():
                 # cylinder far-wake smoothing (reference default.py:132-133)
                 'epsilon_m': 1.e-8,
                 'epsilon_r': 1.e-8,
+                # 1: lift only the per-kite total induced velocity; 2: lift
+                # the near-wake and far-wake contributions separately with
+                # their own fixing rows (reference default.py:139 lifts
+                # per-element; substructure granularity is the TPU-native
+                # equivalent since elements are not NLP variables here)
+                'degree_of_induced_velocity_lifting': 1,
             },
             # actuator-disk options (reference opts/default.py:108-123)
             'actuator': {
@@ -209,6 +215,9 @@ def default_options_tree():
         'homotopy_method': {'type': 'scheduled', 'advance_despite_max_iter': True},
         'homotopy_step': {'gamma': 0.1, 'psi': 1.0},
         'initialization': {
+            # 'default': circular scenario (standard_scenario.py); 'modular':
+            # primitive-scheduled s-curve guess (modular.py:45-1318 role)
+            'type': 'default',
             'groundspeed': 20.,
             'cone_deg': 25.,
             'inclination_deg': 40.,
@@ -282,6 +291,9 @@ def default_options_tree():
             'max_loyd_factor': 30, 'max_power_harvesting_factor': 100,
             'max_tension': 1e6, 'max_velocity': 100., 't_f_min': 5.,
             'power_balance_thresh': 1e0, 'max_control_interval': 10.,
+            # max estimated far-wake truncation error |u_far|/u_ref
+            # (reference default.py:565 + quality_funcs.py:283)
+            'vortex_truncation_error_thresh': 1e-2,
         },
         'interpolation': {'n_points': 100},
     }

@@ -426,6 +426,9 @@ def build_processed_options(options: Dict[str, Any], architecture) -> Dict[str, 
         a_ref_ind = float(options['model']['aero']['actuator']['a_ref'])
         scaling['z']['ui'] = np.array(
             a_ref_ind * float(user_options['wind']['u_ref']))
+        # degree-2 lifting: near/far wake contributions share ui's scale
+        scaling['z']['uin'] = scaling['z']['ui']
+        scaling['z']['uif'] = scaling['z']['ui']
     if induction_model == 'actuator':
         act = options['model']['aero']['actuator']
         steady_map = {'quasi-steady': 'q', 'steady': 'q', 'unsteady': 'u'}

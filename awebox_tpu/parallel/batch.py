@@ -25,7 +25,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  delta_c: float = 1e-8, tau: float = 0.99,
                  kappa_mu: float = 0.8, mu_min: float = 1e-8,
                  n_ladder: int = 7, ladder_factor: float = 100.,
-                 kkt: str = 'auto'):
+                 kkt: str = 'auto', hessian: str = 'exact',
+                 split: bool = False):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -41,6 +42,19 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
     kkt = 'block' uses the block-structured factorization (ocp/blockkkt.py,
     O(n_k) per iteration); 'dense' materializes the full condensed system;
     'auto' picks block whenever the problem supports it (not vortex).
+
+    hessian = 'gauss_newton' replaces the exact Lagrangian Hessian with the
+    Gauss-Newton curvature of the tracking objective (structured.py) — a much
+    smaller traced graph (no third-order AD through the Euler-Lagrange
+    dynamics), intended for throughput refinement from a warm anchor where
+    linear convergence suffices.
+
+    split=True returns (derivs_fn, direction_fn) instead of the fused step:
+    the caller jits/vmaps the two halves as SEPARATE XLA modules and chains
+    them host-side. Two smaller compiles replace one monolithic one — on the
+    shared-compile-server TPU backend, module compile time grows superlinearly
+    in graph size and each cached module survives a later failure, so retries
+    accumulate progress instead of restarting the whole compile.
     """
     n = ocp.vstruct.total
     n_eq, n_ineq = ocp.n_eq, ocp.n_ineq
@@ -75,7 +89,7 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             and ocp.options['user_options']['trajectory']['type'] != 'mpc')
         if structured_ok:
             from ..ocp.structured import make_structured_derivs
-            derivs_fn = make_structured_derivs(ocp)
+            derivs_fn = make_structured_derivs(ocp, hessian=hessian)
         else:
             f, eq, ineq = ocp.f_fn, ocp.eq_fn, ocp.ineq_fn
             n_eq_l, n_ineq_l = ocp.n_eq, ocp.n_ineq
@@ -97,11 +111,11 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                 H = jax.hessian(lagrangian)(w, y, lam, p)
                 return fval, gradf, cE, cI, JE, JI, H
 
-    def step(state, p, lbw, ubw, free):
+    def direction(state, derivs_out, lbw, ubw, free):
         w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
         zl, zu, mu = state['zl'], state['zu'], state['mu']
 
-        fval, gradf, cE, cI, JE, JI, H = derivs_fn(w, y, lam, p)
+        fval, gradf, cE, cI, JE, JI, H = derivs_out
         # non-finite derivatives (iterate escaped the model's domain) must not
         # poison the linear algebra: sanitize, the ladder then produces a
         # heavily damped (near-gradient) step
@@ -184,6 +198,13 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok, err_d,
                               lbw, ubw, n_ineq, tau, kappa_mu, mu_min,
                               err_kkt=jnp.maximum(err_d, err_p))
+
+    if split:
+        return derivs_fn, direction
+
+    def step(state, p, lbw, ubw, free):
+        derivs_out = derivs_fn(state['w'], state['y'], state['lam'], p)
+        return direction(state, derivs_out, lbw, ubw, free)
 
     return step
 

@@ -323,6 +323,237 @@ def plot_aero_validity(plot_dict, arch, fig_name='aero_dimensionless'):
     return fig
 
 
+def animate(plot_dict, arch, fname='animation.gif', n_frames=40, fps=10):
+    """True trajectory animation written to a GIF (reference
+    viz/animation.py:1-263 animate_monitor_plot): kite + tether drawn frame
+    by frame over the interpolated period with the full path underlaid."""
+    plt = _require_mpl()
+    from matplotlib import animation as mpl_animation
+
+    n_points = len(plot_dict['time_grids']['ip'])
+    frames = np.linspace(0, n_points - 1, n_frames).astype(int)
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection='3d')
+
+    paths = {}
+    for node in range(1, arch.number_of_nodes):
+        q = plot_dict['x'].get('q' + arch.node_label(node))
+        if q is not None:
+            paths[node] = q
+            ax.plot(q[0], q[1], q[2], color='0.85', linewidth=0.5)
+    ax.scatter([0.], [0.], [0.], marker='s', c='k')
+    ax.set_xlabel('x [m]')
+    ax.set_ylabel('y [m]')
+    ax.set_zlabel('z [m]')
+
+    tether_lines = {}
+    dots = {}
+    for node, q in paths.items():
+        tether_lines[node], = ax.plot([], [], [], 'k-', linewidth=1.)
+        color = 'C0' if node in arch.kite_nodes else 'C7'
+        dots[node], = ax.plot([], [], [], 'o', color=color, markersize=5)
+    title = ax.set_title('')
+
+    def draw(fi):
+        idx = frames[fi]
+        artists = []
+        for node, q in paths.items():
+            parent = arch.parent_map[node]
+            qp = np.zeros(3) if parent == 0 else paths[parent][:, idx]
+            tether_lines[node].set_data([qp[0], q[0, idx]], [qp[1], q[1, idx]])
+            tether_lines[node].set_3d_properties([qp[2], q[2, idx]])
+            dots[node].set_data([q[0, idx]], [q[1, idx]])
+            dots[node].set_3d_properties([q[2, idx]])
+            artists += [tether_lines[node], dots[node]]
+        title.set_text(f't = {plot_dict["time_grids"]["ip"][idx]:.1f} s')
+        return artists + [title]
+
+    anim = mpl_animation.FuncAnimation(fig, draw, frames=len(frames),
+                                       blit=False)
+    anim.save(fname, writer=mpl_animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return fname
+
+
+def plot_local_induction_factor(plot_dict, arch,
+                                fig_name='local_induction_factor'):
+    """Per-kite local induction factor a = -u_ind.xhat/u_ref from the lifted
+    induced-velocity (vortex) or induction-factor (actuator) variables
+    (reference output.plot_local_induction_factor)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    u_ref = plot_dict.get('u_ref', 1.)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    found = False
+    for name, arr in plot_dict['z'].items():
+        if name.startswith('ui') and not name.startswith(('uin', 'uif')):
+            ax.plot(t, -arr[0] / u_ref, label=f'a({name})')
+            found = True
+        elif name.startswith('a_'):
+            ax.plot(t, np.ravel(arr), label=name)
+            found = True
+    if not found:
+        raise ValueError('no lifted induction variables in this model '
+                         "(induction_model='not_in_use'?)")
+    ax.set_ylabel('a [-]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_average_induction_factor(plot_dict, arch,
+                                  fig_name='average_induction_factor'):
+    """Running time-average of the local induction factor (reference
+    output.plot_annulus_average_induction_factor role: the converged average
+    is the annulus-average actuator comparison point)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    u_ref = plot_dict.get('u_ref', 1.)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    found = False
+    for name, arr in plot_dict['z'].items():
+        if name.startswith('ui') and not name.startswith(('uin', 'uif')):
+            a = -arr[0] / u_ref
+        elif name.startswith('a_'):
+            a = np.ravel(arr)
+        else:
+            continue
+        found = True
+        avg = np.cumsum(a) / np.arange(1, len(a) + 1)
+        ax.plot(t, avg, label=f'avg a({name})')
+        ax.axhline(float(np.mean(a)), linestyle=':', linewidth=0.8)
+    if not found:
+        raise ValueError('no lifted induction variables in this model')
+    ax.set_ylabel('running avg a [-]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_relative_radius(plot_dict, arch, fig_name='relative_radius'):
+    """Orbit radius over wingspan varrho = r/b_ref per kite (reference
+    output.plot_relative_radius; actuator bar_varrho is its average)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    b_ref = plot_dict['geometry']['b_ref']
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for kite in arch.kite_nodes:
+        label = arch.node_label(kite)
+        q = plot_dict['x']['q' + label]
+        parent = arch.parent_map[kite]
+        qp = np.zeros((3, 1)) if parent == 0 \
+            else plot_dict['x']['q' + arch.parent_label(kite)]
+        rel = q - qp if parent != 0 else q
+        center = rel.mean(axis=1, keepdims=True)
+        radius = np.linalg.norm(rel - center, axis=0)
+        ax.plot(t, radius / b_ref, label=f'varrho{label}')
+    ax.set_ylabel('r / b_ref [-]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_relative_radius_of_curvature(plot_dict, arch,
+                                      fig_name='relative_radius_of_curvature'):
+    """Path radius of curvature over wingspan R_c/b_ref, from the velocity
+    and its finite-difference acceleration (reference
+    output.plot_relative_radius_of_curvature)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    b_ref = plot_dict['geometry']['b_ref']
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for kite in arch.kite_nodes:
+        label = arch.node_label(kite)
+        dq = plot_dict['x']['dq' + label]
+        ddq = np.gradient(dq, t, axis=1)
+        speed = np.linalg.norm(dq, axis=0)
+        cross = np.cross(dq.T, ddq.T).T
+        denom = np.maximum(np.linalg.norm(cross, axis=0), 1e-9)
+        r_curv = speed ** 3 / denom
+        ax.semilogy(t, r_curv / b_ref, label=f'R_c{label}/b_ref')
+    ax.set_ylabel('R_c / b_ref [-]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_circulation(plot_dict, arch, fig_name='circulation'):
+    """Per-kite lifting-line circulation estimate Gamma = CL |u| c_ref / 2
+    (reference output.plot_circulation; the wake module solves the same
+    relation in least squares, aero/vortex/wake.py)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    c_ref = plot_dict['geometry']['c_ref']
+    aero = plot_dict['outputs']['aerodynamics']
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for kite in arch.kite_nodes:
+        CL = np.ravel(aero[f'CL{kite}'])
+        airspeed = np.ravel(aero[f'airspeed{kite}'])
+        gamma = 0.5 * CL * airspeed * c_ref
+        ax.plot(t, gamma, label=f'Gamma{kite}')
+    ax.set_ylabel('Gamma [m^2/s]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_thrust(plot_dict, arch, fig_name='thrust'):
+    """Actuator-disk thrust + thrust coefficient per layer (reference
+    output.plot_thrust); needs an actuator-model trial."""
+    plt = _require_mpl()
+    act = plot_dict['outputs'].get('actuator')
+    if not act:
+        raise ValueError("thrust plots need induction_model='actuator'")
+    t = plot_dict['time_grids']['ip']
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    for name, arr in act.items():
+        if name.startswith('thrust'):
+            axes[0].plot(t, np.ravel(arr), label=name)
+        elif name.startswith('ct'):
+            axes[1].plot(t, np.ravel(arr), label=name)
+    axes[0].set_ylabel('T [N]')
+    axes[1].set_ylabel('C_T [-]')
+    for ax in axes:
+        ax.grid(True)
+        ax.legend(fontsize=7)
+    axes[-1].set_xlabel('t [s]')
+    fig.suptitle(fig_name)
+    return fig
+
+
+def plot_velocity_distribution(plot_dict, arch,
+                               fig_name='velocity_distribution'):
+    """Apparent-velocity composition per kite: airspeed vs wind at altitude
+    vs kite speed (reference viz/wake.py plot_velocity_distribution)."""
+    plt = _require_mpl()
+    t = plot_dict['time_grids']['ip']
+    aero = plot_dict['outputs']['aerodynamics']
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for kite in arch.kite_nodes:
+        label = arch.node_label(kite)
+        ax.plot(t, np.ravel(aero[f'airspeed{kite}']),
+                label=f'airspeed{kite}')
+        dq = plot_dict['x']['dq' + label]
+        ax.plot(t, np.linalg.norm(dq, axis=0), '--',
+                label=f'|dq{label}|')
+    ax.set_ylabel('[m/s]')
+    ax.set_xlabel('t [s]')
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.suptitle(fig_name)
+    return fig
+
+
 def _wake_elements_at_node(trial, m_obs=0):
     """Reconstruct the vortex wake element set of a solved trial at shooting
     node m_obs (numpy)."""
@@ -535,6 +766,17 @@ PLOT_REGISTRY = {
     'actuator_xy': lambda pd, arch: plot_actuator(pd, arch, 'xy'),
     'actuator_xz': lambda pd, arch: plot_actuator(pd, arch, 'xz'),
     'actuator_yz': lambda pd, arch: plot_actuator(pd, arch, 'yz'),
+    'local_induction_factor': lambda pd, arch:
+        plot_local_induction_factor(pd, arch),
+    'average_induction_factor': lambda pd, arch:
+        plot_average_induction_factor(pd, arch),
+    'relative_radius': lambda pd, arch: plot_relative_radius(pd, arch),
+    'relative_radius_of_curvature': lambda pd, arch:
+        plot_relative_radius_of_curvature(pd, arch),
+    'circulation': lambda pd, arch: plot_circulation(pd, arch),
+    'thrust': lambda pd, arch: plot_thrust(pd, arch),
+    'velocity_distribution': lambda pd, arch:
+        plot_velocity_distribution(pd, arch),
 }
 
 # flags that additionally need the solved trial (wake geometry lives in V)
@@ -551,14 +793,21 @@ TRIAL_PLOT_REGISTRY = {
 
 def available_flags(plot_dict=None):
     flags = sorted(PLOT_REGISTRY) + sorted(TRIAL_PLOT_REGISTRY)
-    flags += ['states:<name>', 'controls:<name>', 'z:<name>',
-              'outputs:<group>']
+    flags += ['animation_gif', 'states:<name>', 'controls:<name>',
+              'z:<name>', 'outputs:<group>']
     return flags
 
 
 def plot(plot_dict, arch, flags: List[str], save_prefix=None, trial=None):
     figs = {}
     for flag in flags:
+        if flag == 'animation_gif':
+            # true frame-by-frame animation written to disk (the Agg backend
+            # cannot 'return' an animation figure usefully)
+            figs[flag] = animate(
+                plot_dict, arch,
+                fname=f'{save_prefix or "trial"}_animation.gif')
+            continue
         if flag in PLOT_REGISTRY:
             figs[flag] = PLOT_REGISTRY[flag](plot_dict, arch)
         elif flag in TRIAL_PLOT_REGISTRY:

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Flagship single-OCP wall-time artifact (VERDICT r3 item 10).
+
+Solves the reference-grade Ampyx AP2 6-DOF pumping cycle (n_k=40, d=4 — the
+grid of /root/reference/examples/ampyx_ap2_trajectory.py) once through the
+full homotopy and commits the headline numbers the reference community asks
+first: total homotopy wall time, per-step wall/iterations, power, period,
+and the stored controls for the 1e-3 drift guard.
+
+Writes tests/artifacts/flagship_nk40_d4_timing.json. Run on CPU (f64, block
+KKT auto-selected for n >= 1200):
+    JAX_PLATFORMS=cpu python benchmarks/flagship_walltime.py [n_k] [d]
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('JAX_ENABLE_X64', 'true')
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, 'examples'))
+
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+jax.config.update('jax_compilation_cache_dir', os.path.join(ROOT, '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import numpy as np  # noqa: E402
+
+OUT = os.path.join(ROOT, 'tests', 'artifacts', 'flagship_nk40_d4_timing.json')
+
+
+def main():
+    n_k = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from ampyx_ap2_trajectory import run
+
+    t0 = time.time()
+    results = run(n_k=n_k, d=d, kite_dof=6, verbose=True)
+    wall = time.time() - t0
+    trial = results['trial']
+    assert trial.solve_succeeded, trial.solution.step_results
+
+    t_wall = trial.solution.stats.get('t_wall', {})
+    steps = {}
+    for key, rec in trial.solution.step_results.items():
+        steps[key] = {'iterations': int(rec.get('iterations', -1)),
+                      'kkt_error': float(rec.get('kkt_error', float('nan'))),
+                      'wall_s': round(float(t_wall.get(key, -1.)), 2)}
+
+    u = np.asarray(trial.ocp.vstruct.get_u_all(trial.solution.V_opt))
+    payload = {
+        'n_k': n_k, 'd': d, 'kite_dof': 6,
+        'n_vars': int(trial.ocp.vstruct.total),
+        'avg_power_kw': float(results['avg_power_kw']),
+        'winding_period_s': float(results['winding_period_s']),
+        'total_wall_s': round(wall, 1),
+        'platform': jax.devices()[0].platform,
+        'homotopy_steps': steps,
+        'controls_norm': float(np.linalg.norm(u)),
+        'controls': u.tolist(),
+    }
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, 'w') as fh:
+        json.dump(payload, fh, indent=1)
+    print(f'flagship artifact saved to {OUT}: '
+          f'{payload["avg_power_kw"]:.2f} kW / '
+          f'{payload["winding_period_s"]:.1f} s in {wall:.0f} s wall')
+
+
+if __name__ == '__main__':
+    main()

@@ -120,7 +120,10 @@ def test_batched_sweep_matches_serial(solved_trial):
         {'user_options.wind.u_ref': 10.},   # == anchor wind
         {'user_options.wind.u_ref': 10.5},
     ], name='batched')
-    sweep.run_batched(anchor_trial=solved_trial, n_iter=40)
+    # convergence-gated (tol) with a cap that allows full refinement: the
+    # perturbed scenario needs ~60 iterations to reach err ~4e-11 (measured);
+    # a 40-iteration cap left it at eq~1e-5 — the rounds-2/3 red test
+    sweep.run_batched(anchor_trial=solved_trial, n_iter=120)
 
     labels, powers = sweep.power_curve()
     assert len(labels) == 2

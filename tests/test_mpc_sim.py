@@ -54,6 +54,58 @@ def test_mpc_step_latency_recorded(closed_loop):
     assert min(s['kkt_error'] for s in stats) < 1e-2
 
 
+def test_latency_report(closed_loop):
+    """Latency vs the real-time budget ts is reported explicitly
+    (BASELINE.md MPC target; reference pmpc.py:208-217)."""
+    rep = closed_loop.latency_report()
+    assert rep is not None
+    assert rep['ts'] > 0. and rep['steady_median_s'] > 0.
+    assert rep['latency_over_ts'] == rep['steady_median_s'] / rep['ts']
+    assert isinstance(rep['real_time_capable'], (bool, np.bool_))
+    # SI position error is finite and in meters
+    pos = closed_loop.position_error_si()
+    assert len(pos) >= 4 and np.isfinite(pos).all()
+
+
+def test_economic_mpc_step(solved_trial):  # noqa: F811
+    """Economic MPC mode (reference pmpc.py:141): the power objective stays
+    live over the horizon. One feedback step must converge to the relaxed
+    barrier and return a finite control."""
+    from awebox_tpu.api.pmpc import Pmpc
+    mpc = Pmpc(solved_trial, N=4, d=2, max_iter=40, cost_type='economic')
+    vs = solved_trial.ocp.vstruct
+    x0 = np.asarray(vs.get_x_all(solved_trial.solution.V_opt)[0])
+    u0, V_sol = mpc.step(x0)
+    assert np.isfinite(u0).all() and np.isfinite(V_sol).all()
+    assert mpc.stats[-1]['kkt_error'] < 1e-1
+    # the economic blend keeps both objective channels nonzero
+    assert float(mpc.P['cost']['power']) > 0.
+    assert float(mpc.P['cost']['tracking']) > 0.
+
+
+def _load_example():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'examples', 'mpc_closed_loop.py')
+    spec = importlib.util.spec_from_file_location('mpc_closed_loop', path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.heavy
+def test_reference_grade_closed_loop_tracks_si():
+    """Reference-grade closed loop (examples/mpc_closed_loop.py semantics:
+    n_k=20 source orbit, N=8 horizon — the reference demo uses n_k=40):
+    kite position must stay within 25 m of the reference orbit at every
+    sample, and the latency-vs-ts verdict must be produced."""
+    mod = _load_example()
+    out = mod.run(n_k=20, d=3, n_sim=6, N=8, mpc_d=2)
+    assert out['position_error_si_max'] < 25., out
+    assert out['latency_over_ts'] > 0.
+
+
 def test_open_loop_simulation(solved_trial):  # noqa: F811
     from awebox_tpu.api.sim import Simulation
     sim = Simulation(solved_trial, 'open_loop')

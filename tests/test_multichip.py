@@ -63,6 +63,48 @@ def test_fleet_sharded_matches_single_device():
     assert np.isfinite(np.asarray(out_n['w'])).all()
 
 
+@pytest.mark.slow
+def test_measure_scaling_8_virtual_devices():
+    """`fleet.measure_scaling` (BASELINE.md scaling anchor) must run on the
+    8-virtual-device CPU mesh and report a sane speedup: sharding 8 scenarios
+    over 8 devices must not be slower than pinning all 8 on one device.
+    (On the 2-core CI host the measurable parallelism ceiling is ~2x and the
+    single-device run already multithreads inside XLA, so this asserts
+    no-pathology, not linear scaling; benchmarks/measure_scaling.py commits
+    the scaling artifact with the raw walls.)"""
+    import jax
+    from awebox_tpu.api.trial import Trial
+    from awebox_tpu.opti.homotopy import (build_p_fix, define_schedule,
+                                          set_initial_bounds)
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+    from awebox_tpu.parallel import fleet
+    from awebox_tpu.parallel.batch import init_batched_state, stack_p
+    from tests.test_options import make_ampyx_options
+
+    options = make_ampyx_options()
+    options['user_options.system_model.kite_dof'] = 3
+    options['nlp.n_k'] = 3
+    options['nlp.collocation.d'] = 2
+    trial = Trial(options, 'scaling').build()
+    ocp = trial.ocp
+    V0 = build_initial_guess(ocp)
+    P = build_p_fix(ocp, build_reference(ocp, V0))
+    schedule = define_schedule(ocp)
+    lb, ub = set_initial_bounds(ocp, trial.lb_nominal, trial.ub_nominal, V0,
+                                schedule)
+    B = 8
+    rng = np.random.default_rng(7)
+    batch = [V0 + 1e-4 * rng.normal(size=V0.shape) for _ in range(B)]
+    state = init_batched_state(ocp, batch, P, lb, ub)
+    P_batch = stack_p([P] * B)
+
+    report = fleet.measure_scaling(ocp, lb, ub, state, P_batch, n_iter=10)
+    assert report['devices'] >= 8
+    assert report['wall_1'] > 0. and report['wall_n'] > 0.
+    assert report['speedup'] > 0.8, report
+
+
 def test_ip_step_ladder_recovers_from_indefinite():
     """The in-jit regularization ladder must produce finite iterates even
     when the Hessian is indefinite / non-finite (the round-1 failure mode)."""

@@ -70,3 +70,46 @@ def test_parity_artifact_when_present():
         < TOLERANCE
     assert abs(data['winding_period_s'] - REFERENCE_PERIOD_S) / REFERENCE_PERIOD_S \
         < TOLERANCE
+
+
+ANCHOR_NPZ = os.path.join(os.path.dirname(__file__), 'artifacts',
+                          'bench_anchor_nk8_d3.npz')
+
+
+@pytest.mark.slow
+def test_solver_drift_against_committed_anchor():
+    """Controls-level regression guard (VERDICT r3 item 5): a FRESH full
+    homotopy solve of the committed anchor configuration must reproduce the
+    anchor's stored primal point — controls, period and power — to tight
+    tolerance. This catches solver drift that the power/period ±20% band
+    cannot see. (The awebox-controls 1e-3 comparison needs an IPOPT solution
+    of the reference itself; see BASELINE.md for why that cannot be produced
+    in this environment.)"""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'benchmarks'))
+    from make_bench_anchor import bench_options
+    from awebox_tpu.api.trial import Trial
+
+    trial = Trial(bench_options(), 'drift_check').build()
+    trial.optimize(verbose=False)
+    assert trial.solve_succeeded
+
+    anchor = np.load(ANCHOR_NPZ)
+    vs = trial.ocp.vstruct
+    V_new = np.asarray(trial.solution.V_opt)
+    V_anchor = np.asarray(anchor['w'])
+
+    u_new = np.asarray(vs.get_u_all(V_new))
+    u_anchor = np.asarray(vs.get_u_all(V_anchor))
+    u_scale = max(float(np.abs(u_anchor).max()), 1e-6)
+    du = float(np.abs(u_new - u_anchor).max()) / u_scale
+    assert du < 1e-3, f'controls drifted {du:.2e} from committed anchor'
+
+    go = trial.global_outputs()
+    dp = abs(go['avg_power_watts'] - float(anchor['avg_power_watts'])) \
+        / abs(float(anchor['avg_power_watts']))
+    dT = abs(go['time_period'] - float(anchor['time_period'])) \
+        / float(anchor['time_period'])
+    assert dp < 1e-3, f'power drifted {dp:.2e}'
+    assert dT < 1e-4, f'period drifted {dT:.2e}'

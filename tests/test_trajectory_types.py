@@ -109,6 +109,47 @@ def test_landing_schedule_branches(solved_trial):  # noqa: F811
     assert {'nu', 'upsilon'} <= schedule['used_phis']
 
 
+def test_modular_initial_guess_structure(solved_trial):  # noqa: F811
+    """Modular primitive-scheduled initializer (reference initialization_dir/
+    modular.py role, opti/modular_init.py): for a landing problem the guess
+    must be finite, start on the source orbit side, END in the parked
+    configuration (near-zero terminal kite speed, reduced radius), and carry
+    polynomial-consistent xdot."""
+    from awebox_tpu.opti.initialization import build_initial_guess
+
+    options = _options('nominal_landing', solved_trial)
+    options['solver.initialization.type'] = 'modular'
+    trial = Trial(options, 'landing_modular').build()
+    ocp = trial.ocp
+    V = build_initial_guess(ocp)
+    assert np.isfinite(V).all()
+
+    layout = trial.model.layout
+    vs = ocp.vstruct
+    q_sl = layout.slices['x']['q10']
+    dq_sl = layout.slices['x']['dq10']
+    q_scale = trial.model.scaling['x'][q_sl]
+    dq_scale = trial.model.scaling['x'][dq_sl]
+    X = np.asarray(vs.get_x_all(V))
+    # terminal kite nearly at rest (parked configuration)
+    v_term = np.linalg.norm(X[-1][dq_sl] * dq_scale)
+    v_start = np.linalg.norm(X[0][dq_sl] * dq_scale)
+    assert v_term < 0.2 * max(v_start, 1.), (v_term, v_start)
+    # radius shrinks toward the parked tether length
+    r_term = np.linalg.norm(X[-1][q_sl] * q_scale)
+    r_start = np.linalg.norm(X[0][q_sl] * q_scale)
+    assert r_term < r_start
+    # xdot consistent with the collocation polynomial at interval 0
+    C = ocp.coll.coeff_collocation
+    h = 1. / ocp.n_k
+    tf = float(ocp.time_period_fn(V))
+    X_stack = np.stack([V[vs.x_slice(0)]] +
+                       [V[vs.coll_x_slice(0, j)] for j in range(ocp.d)])
+    xd_expected = (C[:, 0] @ X_stack) / (h * tf)
+    np.testing.assert_allclose(V[vs.xdot_slice(0)], xd_expected,
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_nominal_landing_solve(solved_trial):  # noqa: F811
     """End-to-end landing homotopy: initial -> fictitious -> landing ->
     final on the tiny grid. The landing steps currently reach loose

@@ -13,10 +13,34 @@ pytestmark = pytest.mark.slow
 
 def test_all_static_flags_render(solved_trial):  # noqa: F811
     from awebox_tpu.viz import visualization as viz
-    figs = solved_trial.plot(sorted(viz.PLOT_REGISTRY), n_points=40)
-    assert set(figs) == set(viz.PLOT_REGISTRY)
+    # model-dependent flags raise a clear ValueError on models without the
+    # needed variables (thrust needs actuator, induction factors need a
+    # lifted induction model) — everything else must render
+    figs = {}
+    skipped = []
+    for flag in sorted(viz.PLOT_REGISTRY):
+        try:
+            figs.update(solved_trial.plot([flag], n_points=40))
+        except ValueError:
+            skipped.append(flag)
+    assert set(figs) | set(skipped) == set(viz.PLOT_REGISTRY)
+    assert set(skipped) <= {'thrust', 'local_induction_factor',
+                            'average_induction_factor'}, skipped
     import matplotlib.pyplot as plt
     plt.close('all')
+
+
+def test_animation_gif_writes_file(solved_trial, tmp_path):  # noqa: F811
+    """The true frame-by-frame animation (reference viz/animation.py)
+    writes a playable GIF."""
+    out = solved_trial.plot(['animation_gif'], n_points=30,
+                            save_prefix=str(tmp_path / 'anim'))
+    import os
+    path = out['animation_gif']
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 10_000   # multi-frame, not a stub
+    with open(path, 'rb') as fh:
+        assert fh.read(6) in (b'GIF87a', b'GIF89a')
 
 
 def test_dynamic_flags_render(solved_trial):  # noqa: F811

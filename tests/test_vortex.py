@@ -31,6 +31,15 @@ def test_embedded_cylinder_selftests():
     fil.test_longitudinal_cylinder_circulation_limit()
 
 
+def test_embedded_skewed_cylinder_selftests():
+    """Skewed-cylinder observation geometry + frame covariance
+    (semi_infinite_skewed_cylinder.py:150-434 embedded test suite)."""
+    fil.test_skewed_r_and_z_observation()
+    fil.test_skewed_regularized_m_values()
+    fil.test_skewed_observational_axes()
+    fil.test_skewed_axis_induction_consistency()
+
+
 def test_elliptic_integrals_against_known_values():
     """Carlson-form elliptic integrals (replacing the reference's order-6
     polynomial approximations, vector_operations.py:512-660)."""
@@ -173,6 +182,40 @@ def test_vortex_cylinder_far_wake_residual():
     assert np.max(np.abs(r_cyl)) > 1e-6
     # the far-wake model choice changes the induced velocity
     assert np.max(np.abs(r_cyl - r_fil)) > 1e-8
+
+
+def test_vortex_degree2_lifting():
+    """degree_of_induced_velocity_lifting=2 (reference opts/default.py:139):
+    near/far-wake contributions are lifted separately with their own fixing
+    rows plus a linear superposition row; at iota=1 with zero guesses all
+    rows vanish, and the row count triples."""
+    from awebox_tpu.opti.homotopy import build_p_fix
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+
+    options = make_vortex_options()
+    options['model.aero.vortex.degree_of_induced_velocity_lifting'] = 2
+    arch = Architecture({1: 0})
+    built = options.build(arch)
+    model = make_model(built, arch)
+    ocp = build_ocp(model, built)
+
+    names = model.layout.names('z')
+    assert 'ui10' in names and 'uin10' in names and 'uif10' in names
+    sl = ocp.eq_slices['vortex_induction']
+    assert sl.stop - sl.start == 9 * ocp.n_k * (1 + ocp.d)
+
+    V = build_initial_guess(ocp)
+    P = build_p_fix(ocp, build_reference(ocp, V))
+    res1 = np.asarray(ocp.eq_fn(jnp.asarray(V), P))[sl]
+    assert np.max(np.abs(res1)) < 1e-10     # iota=1, ui=uin=uif=0
+
+    # at iota=0 the substructure fixing rows see the wake: finite + nonzero
+    V0 = V.copy()
+    V0[ocp.vstruct.phi_slice.start + 2] = 0.
+    res0 = np.asarray(ocp.eq_fn(jnp.asarray(V0), P))[sl]
+    assert np.all(np.isfinite(res0))
+    assert np.max(np.abs(res0)) > 1e-6
 
 
 @pytest.mark.slow
