@@ -88,6 +88,13 @@ class Trial:
                 V_init = ws.remap_to_v(ws.solution_payload(warmstart), self.ocp)
             else:
                 V_init = np.asarray(warmstart)
+            # the tracking reference follows the warmstart (sweep warmstart
+            # semantics, reference sweep_funcs.py/optimization.py:463-512):
+            # early homotopy steps then pull toward the warm solution, not
+            # back to the cold circular guess
+            V_ref = build_reference(self.ocp, V_init)
+            self.V_init = V_init
+            self.V_ref = V_ref
         self.solution = homotopy_mod.solve_homotopy(
             self.ocp, V_init, V_ref, self.lb_nominal, self.ub_nominal,
             final_homotopy_step=final_homotopy_step,

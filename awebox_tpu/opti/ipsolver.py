@@ -46,6 +46,14 @@ class IPOptions:
     max_iter: int = 3000
     delta_w_init: float = 1e-6
     delta_w_max: float = 1e10
+    # step-norm guard: a chol-successful factorization of a NEAR-singular
+    # KKT matrix returns a finite but absurd direction (|dw| ~ 1e4 in scaled
+    # units, observed on the 6-DOF n_k=20 initial step via near-dependent
+    # trivial-dynamics/continuity/periodicity row chains). MA57 would report
+    # wrong inertia there; chol cannot, so treat |dw|_inf > dw_cap as a
+    # factorization failure and climb the regularization ladder instead of
+    # handing the line search an unusable direction.
+    dw_cap: float = 300.0
     delta_c: float = 1e-7
     armijo_eta: float = 1e-4
     max_ls: int = 25
@@ -418,17 +426,29 @@ class InteriorPointSolver:
             ladder_hist = []
             if self._block is not None:
                 # the block path self-escalates in-jit; start from the decayed
-                # last delta and let its internal ladder do the work
+                # last delta and let its internal ladder do the work. The
+                # host-side retry loop additionally enforces the step-norm
+                # guard (see IPOptions.dw_cap).
                 delta_w = max(delta_w_last / 3., 0.0)
                 delta_ce = o.delta_c * max(mu, 1e-6) ** 0.25
-                dw, dy, dlam, ds, dzl, dzu, ok_j, info = self._block_solve(
-                    blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
-                    delta_w, o.delta_c, delta_ce)
-                ok = bool(ok_j)
-                delta_w = float(info['delta_used'])
-                dir_finite = np.all(np.isfinite(np.asarray(dw))) \
-                    and np.all(np.isfinite(np.asarray(dy))) \
-                    and np.all(np.isfinite(np.asarray(dlam)))
+                for trial in range(8):
+                    dw, dy, dlam, ds, dzl, dzu, ok_j, info = self._block_solve(
+                        blocks, w, s, y, lam, zl, zu, lbw, ubw, free, mu,
+                        delta_w, o.delta_c, delta_ce)
+                    ok = bool(ok_j)
+                    delta_w = float(info['delta_used'])
+                    dir_finite = np.all(np.isfinite(np.asarray(dw))) \
+                        and np.all(np.isfinite(np.asarray(dy))) \
+                        and np.all(np.isfinite(np.asarray(dlam)))
+                    dw_norm = float(np.max(np.abs(np.asarray(dw)))) \
+                        if dir_finite else np.inf
+                    if ok and dir_finite and dw_norm <= o.dw_cap:
+                        break
+                    delta_w = min(max(delta_w * 8., o.delta_w_init * 100.),
+                                  o.delta_w_max)
+                    if o.verbose and dir_finite and dw_norm > o.dw_cap:
+                        awelogger.info(f'  [step cap] |dw|={dw_norm:.1e} > '
+                                       f'{o.dw_cap:g}, delta_w -> {delta_w:.1e}')
                 kdiag = (0., True, 0., 0.)
                 if not (ok and dir_finite):
                     status = 'regularization_failed'
@@ -446,9 +466,14 @@ class InteriorPointSolver:
                     dir_finite = np.all(np.isfinite(np.asarray(dw))) \
                         and np.all(np.isfinite(np.asarray(dy))) \
                         and np.all(np.isfinite(np.asarray(dlam)))
+                    dw_norm = float(np.max(np.abs(np.asarray(dw)))) \
+                        if dir_finite else np.inf
                     ladder_hist.append((delta_w, bool(ok), bool(dir_finite)))
-                    if bool(ok) and dir_finite:
+                    if bool(ok) and dir_finite and dw_norm <= o.dw_cap:
                         break
+                    if bool(ok) and dir_finite and o.verbose:
+                        awelogger.info(f'  [step cap] |dw|={dw_norm:.1e} > '
+                                       f'{o.dw_cap:g}, raising delta_w')
                     if delta_w == 0.0:
                         delta_w = min(max(o.delta_w_init, delta_w_last / 3.), 1e4)
                     else:

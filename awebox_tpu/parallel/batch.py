@@ -26,7 +26,7 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  kappa_mu: float = 0.8, mu_min: float = 1e-8,
                  n_ladder: int = 7, ladder_factor: float = 100.,
                  kkt: str = 'auto', hessian: str = 'exact',
-                 split: bool = False):
+                 split: bool = False, solve_dtype=None):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -48,6 +48,17 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
     smaller traced graph (no third-order AD through the Euler-Lagrange
     dynamics), intended for throughput refinement from a warm anchor where
     linear convergence suffices.
+
+    solve_dtype = 'float64' runs ONLY the condensed factorization + solves in
+    (emulated) f64 while derivatives stay in the input dtype. The condensed
+    matrix M = W + A^T D^-1 A carries cond ~ ||A||^2/delta_ce ~ 1e13 (plus
+    near-dependent trivial-dynamics/continuity/periodicity row chains,
+    measured sigma_min(A_eq) ~ 3.5e-4 on the bench anchor) — far beyond f32
+    Cholesky's ~1e7 reach, which is why the all-f32 path spins the whole
+    regularization ladder and returns ok=False every iteration on TPU.
+    f32 derivatives into an f64 solve converge to eq-residual ~1e-7
+    (prototype-validated round 4); this is the MA57-precision role at MXU
+    derivative speed.
 
     split=True returns (derivs_fn, direction_fn) instead of the fused step:
     the caller jits/vmaps the two halves as SEPARATE XLA modules and chains
@@ -134,20 +145,23 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
 
         A = jnp.concatenate([JE, JI], axis=0) * free[None, :]
         lam_safe = jnp.maximum(lam, 1e-12)
-        # TPU-native linear algebra: XLA:TPU has no f64 LU, but emulated-f64
-        # Cholesky and triangular solves are fast. Solve the condensed
-        # quasi-definite form M = W + A^T D^-1 A by Cholesky with iterative
-        # refinement; equality rows carry a small dual regularization delta_ce
-        # to keep D positive.
+        # Condensed quasi-definite form M = W + A^T D^-1 A solved by Cholesky
+        # with iterative refinement; equality rows carry a small dual
+        # regularization delta_ce to keep D positive. See the solve_dtype
+        # note in the docstring: cond(M) ~ 1e13 demands f64 factorization —
+        # emulated on TPU, native on CPU.
+        sdt = jnp.dtype(solve_dtype) if solve_dtype is not None else W0.dtype
+        idt = W0.dtype
         delta_ce = delta_c
         D = jnp.concatenate([delta_ce * jnp.ones(n_eq),
                              s / lam_safe + delta_c * jnp.ones(n_ineq)])
         r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
         r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
-        As = A / jnp.sqrt(D)[:, None]
+        W0 = W0.astype(sdt)
+        As = A.astype(sdt) / jnp.sqrt(D.astype(sdt))[:, None]
         AtA = As.T @ As
-        eye_free = jnp.diag(free)
+        eye_free = jnp.diag(free).astype(sdt)
 
         # in-jit regularization ladder: raise delta_w until chol succeeds
         def chol_ok(delta):
@@ -164,22 +178,22 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             LM, ok = chol_ok(delta)
             return k + 1, delta, LM, ok
 
-        LM0, ok0 = chol_ok(jnp.asarray(delta_w))
+        LM0, ok0 = chol_ok(jnp.asarray(delta_w, dtype=sdt))
         _, delta_used, LM, ok = jax.lax.while_loop(
             ladder_cond, ladder_body,
-            (jnp.asarray(0), jnp.asarray(delta_w), LM0, ok0))
+            (jnp.asarray(0), jnp.asarray(delta_w, dtype=sdt), LM0, ok0))
 
         def msolve(b):
             t = jax.scipy.linalg.solve_triangular(LM, b, lower=True)
             return jax.scipy.linalg.solve_triangular(LM.T, t, lower=False)
 
         Wd = W0 + delta_used * eye_free
-        rhs_w = r1 - A.T @ (r2 / D)
+        rhs_w = (r1 - A.T @ (r2 / D)).astype(sdt)
         dw = msolve(rhs_w)
         for _ in range(2):  # refinement against the 1/delta_ce conditioning
             dw = dw + msolve(rhs_w - (Wd @ dw + As.T @ (As @ dw)))
-        dw = dw * free
-        dnu = (A @ dw + r2) / D
+        dw = (dw * free).astype(idt)
+        dnu = ((A @ dw + r2) / D).astype(idt)
         # if even the maximally damped factorization failed, stand still
         # rather than step on NaNs (recovery: mu stays, next iterate retries)
         dw = jnp.where(ok, dw, 0.)

@@ -26,11 +26,13 @@ from awebox_tpu.api.trial import Trial
 from awebox_tpu.options.options import Options
 from awebox_tpu.options.kite_data import ampyx_ap2_settings
 
+N_K = int(os.environ.get('BENCH_NK', '4'))
+D = int(os.environ.get('BENCH_D', '3'))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   'tests', 'artifacts', 'bench_anchor_nk8_d3.npz')
+                   'tests', 'artifacts', f'bench_anchor_nk{N_K}_d{D}.npz')
 
 
-def bench_options():
+def bench_options(n_k=None, d=None):
     options = Options()
     ampyx_ap2_settings.set_ampyx_ap2_settings(options)
     options['user_options.system_model.architecture'] = {1: 0}
@@ -40,8 +42,8 @@ def bench_options():
     options['user_options.wind.u_ref'] = 10.
     options['params.wind.z_ref'] = 100.0
     options['user_options.trajectory.lift_mode.phase_fix'] = 'simple'
-    options['nlp.n_k'] = 8
-    options['nlp.collocation.d'] = 3
+    options['nlp.n_k'] = n_k if n_k is not None else N_K
+    options['nlp.collocation.d'] = d if d is not None else D
     return options
 
 

@@ -91,7 +91,10 @@ def test_solver_drift_against_committed_anchor():
     from make_bench_anchor import bench_options
     from awebox_tpu.api.trial import Trial
 
-    trial = Trial(bench_options(), 'drift_check').build()
+    # pin the grid explicitly: bench_options() defaults moved to n_k=4 in
+    # round 4 (the TPU bench grid); this guard diffs against the committed
+    # n_k=8 anchor
+    trial = Trial(bench_options(n_k=8, d=3), 'drift_check').build()
     trial.optimize(verbose=False)
     assert trial.solve_succeeded
 
