@@ -341,7 +341,16 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
     if use_structured is not None:      # legacy knob from round 1
         choice = 'block' if use_structured else 'dense'
     if choice == 'auto':
-        choice = 'dense' if (dense_only or ocp.vstruct.total < 1200) else 'block'
+        # block is validated on the 3-DOF families; on the 6-DOF n_k=20
+        # initial step its chol-only inertia test (factor-succeeds == PD)
+        # forces delta_w so high that every direction is uselessly damped and
+        # the solve traps in a watchdog loop, while the dense augmented-LU
+        # path converges the same problem (round-4 measurement). Until the
+        # block path gets a real inertia correction for the nonconvex 6-DOF
+        # phase, auto prefers it only where it is proven.
+        block_ok = (ocp.vstruct.total >= 1200
+                    and ocp.model.cfg.get('kite_dof', 3) == 3)
+        choice = 'dense' if (dense_only or not block_ok) else 'block'
     if dense_only and choice == 'block':
         raise ValueError(f"linear_solver='block' is incompatible with "
                          f"induction_model='{induction}' (constraints couple "

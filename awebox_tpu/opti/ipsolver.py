@@ -541,6 +541,12 @@ class InteriorPointSolver:
             if theta_init is None:
                 theta_init = max(theta_c, 1e-8)
             theta_min = 1e-4 * max(1., theta_init)
+            # Waechter-Biegler theta_max: never accept a trial point whose
+            # constraint violation exceeds a multiple of the initial one.
+            # Without this cap the phi-improvement branch can accept steps
+            # that explode feasibility by 1e4 (observed on the 6-DOF n_k=20
+            # initial step), trapping the solve in a watchdog-restore loop.
+            theta_max = 1e2 * max(1., theta_init)
 
             # barrier directional derivative
             ddphi = float(gradf @ dw
@@ -557,7 +563,7 @@ class InteriorPointSolver:
                 s_new = s + alpha * ds if self.n_ineq else s
                 phi_a_j, theta_a_j = self._barrier_phi_theta(w_new, s_new, p, mu, lbw, ubw)
                 phi_a, theta_a = float(phi_a_j), float(theta_a_j)
-                if np.isfinite(phi_a):
+                if np.isfinite(phi_a) and theta_a <= theta_max:
                     in_filter = any(theta_a >= th_f and phi_a >= ph_f
                                     for (th_f, ph_f) in filter_list)
                     if not in_filter:
