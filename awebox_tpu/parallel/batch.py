@@ -41,7 +41,26 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
 
     kkt = 'block' uses the block-structured factorization (ocp/blockkkt.py,
     O(n_k) per iteration); 'dense' materializes the full condensed system;
+    'auglu' factors the row-equilibrated AUGMENTED system with pivoted LU in
+    f32 plus f64-residual iterative refinement (see below);
     'auto' picks block whenever the problem supports it (not vortex).
+
+    Why 'auglu' exists (round-5, the f32-viable KKT strategy): the condensed
+    operator M = W + A^T D^-1 A with D_eq = delta_ce = 1e-8 carries
+    cond ~ 1e13..1e18 — not only beyond f32 Cholesky (~1e7) but beyond f64
+    accuracy too (1/eps_f64 ~ 4e15): the old f64 condensed direction was
+    itself noise-dominated. Moderate condensation (delta_d ~ 1e-4) fails
+    differently: W is indefinite on null(A) at production iterates, so the
+    moderately-condensed matrix is not even PD. The augmented form
+        K = [[W + delta_w I, A'^T], [A', -(D' + delta_ce)]]
+    with per-row equilibration A' = R A (duals nu = R nu') never inverts
+    delta_ce; after Jacobi scaling cond(K) ~ 2e9 (measured at the bench
+    anchor, benchmarks/repro_f32_schur.py), and partial-pivoted LU handles
+    the indefiniteness the way MA57's symmetric-indefinite pivoting does for
+    the reference (opts/default.py:322). An f32 factorization + 2 sweeps of
+    f64-residual refinement reaches augmented-system residual ~3e-9 —
+    identical to the f64 factorization — at MXU f32 speed. The O(n^3) work
+    stays f32; only O(n^2) residual matvecs pay the f64-emulation tax.
 
     hessian = 'gauss_newton' replaces the exact Lagrangian Hessian with the
     Gauss-Newton curvature of the tracking objective (structured.py) — a much
@@ -158,6 +177,24 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         r2 = jnp.concatenate([cE, cI + mu / lam_safe]) if n_ineq else cE
         r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
+        if kkt == 'auglu':
+            dw, dnu, ok = _auglu_solve(W0, A, D, r1, r2, free, n, delta_w,
+                                       delta_ce, n_ladder, ladder_factor)
+            idt = W0.dtype
+            dw = jnp.where(ok & jnp.isfinite(dw), dw, 0.).astype(idt)
+            dnu = jnp.where(ok & jnp.isfinite(dnu), dnu, 0.).astype(idt)
+            dy, dlam = dnu[:n_eq], dnu[n_eq:]
+            ds = -(cI + s) - JI @ dw if n_ineq else s
+            dzl = mu / dl - zl - zl * dw / dl
+            dzu = mu / du - zu + zu * dw / du
+            err_d = jnp.max(jnp.abs(r1))
+            err_p = jnp.max(jnp.abs(cE), initial=0.)
+            if n_ineq:
+                err_p = jnp.maximum(err_p, jnp.max(jnp.abs(cI + s)))
+            return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
+                                  err_d, lbw, ubw, n_ineq, tau, kappa_mu,
+                                  mu_min, err_kkt=jnp.maximum(err_d, err_p))
+
         W0 = W0.astype(sdt)
         As = A.astype(sdt) / jnp.sqrt(D.astype(sdt))[:, None]
         AtA = As.T @ As
@@ -221,6 +258,78 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         return direction(state, derivs_out, lbw, ubw, free)
 
     return step
+
+
+def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
+                 ladder_factor, dw_cap=1e4, n_refine=2):
+    """f32 pivoted-LU solve of the row-equilibrated augmented KKT system with
+    f64-residual iterative refinement (the 'auglu' mode of make_ip_step).
+
+        K(delta) = [[W0 + delta*diag(free), A'^T], [A', -(D' + delta_ce)]]
+        A' = R A,  D' = R D R,  duals recovered as nu = R nu'
+
+    Partial pivoting plays MA57's symmetric-indefinite-pivoting role
+    (reference opts/default.py:322): it factors the indefinite K without
+    requiring W0 PD (the condensed path's hidden assumption). The O(n^3)
+    factorization runs in f32 on the MXU; refinement residuals run in f64
+    (emulated on TPU — O(n^2) matvecs only). Measured at the bench anchor:
+    cond(Jacobi-scaled K) ~ 2e9, refined residual ~3e-9, matching the f64
+    factorization exactly (benchmarks/repro_f32_schur.py).
+
+    The in-jit ladder raises delta until the solution is finite and
+    |dw|_inf <= dw_cap (a near-singular factorization yields a finite but
+    absurd step; treat it as failed, mirroring IPOptions.dw_cap)."""
+    fdt = jnp.float32
+    rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    rn = 1.0 / jnp.clip(jnp.max(jnp.abs(A), axis=1), 1e-10, 1e10)
+    rn = jnp.clip(rn, 0., 1e6).astype(rdt)
+    A_e = A.astype(rdt) * rn[:, None]
+    D_e = D.astype(rdt) * rn * rn
+    r1_h = r1.astype(rdt)
+    r2_e = r2.astype(rdt) * rn
+    b = jnp.concatenate([r1_h, -r2_e])
+    diag_free = jnp.diag(free.astype(rdt))
+    W0h = W0.astype(rdt)
+    D_reg = D_e + delta_ce
+
+    def attempt(delta):
+        Wd = W0h + delta * diag_free
+        K = jnp.block([[Wd, A_e.T], [A_e, -jnp.diag(D_reg)]])
+        kdiag = jnp.concatenate([jnp.abs(jnp.diag(Wd)), D_reg])
+        kd = jnp.clip(1.0 / jnp.sqrt(jnp.clip(kdiag, 1e-8, None)),
+                      0., 1e4).astype(fdt)
+        Ks = K.astype(fdt) * kd[:, None] * kd[None, :]
+        lu, piv = jax.scipy.linalg.lu_factor(Ks)
+
+        def ksolve(v):
+            return (kd * jax.scipy.linalg.lu_solve(
+                (lu, piv), kd * v)).astype(rdt)
+
+        x = ksolve(b.astype(fdt))
+        for _ in range(n_refine):
+            r = b - K @ x
+            x = x + ksolve(r.astype(fdt))
+        ok = jnp.all(jnp.isfinite(x)) & (jnp.max(jnp.abs(x[:n])) <= dw_cap)
+        return x, ok
+
+    x0, ok0 = attempt(jnp.asarray(delta_w, rdt))
+
+    def ladder_cond(carry):
+        k, _, _, ok = carry
+        return jnp.logical_and(~ok, k < n_ladder)
+
+    def ladder_body(carry):
+        k, delta, _, _ = carry
+        delta = jnp.maximum(delta * ladder_factor, delta_w)
+        x, ok = attempt(delta)
+        return k + 1, delta, x, ok
+
+    _, _, x, ok = jax.lax.while_loop(
+        ladder_cond, ladder_body,
+        (jnp.asarray(0), jnp.asarray(delta_w, rdt), x0, ok0))
+    dw = x[:n] * free.astype(rdt)
+    dnu = rn * x[n:]
+    return dw, dnu, ok
 
 
 def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
