@@ -242,12 +242,15 @@ def make_model(options, arch: Architecture) -> Model:
 
     # --- index arrays for generalized coordinates -------------------------
     x_off = layout.type_offsets['x']
+    # int32: these index constants are baked into traces that may run under
+    # either x64 mode; int64 index arrays break gather normalization inside
+    # an x64-off scope nested in an x64-on trace (lax.add i64/i32)
     gc_q_idx = np.concatenate([
         np.arange(layout.slices['x'][name].start, layout.slices['x'][name].stop) + x_off
-        for name in gc_names])
+        for name in gc_names]).astype(np.int32)
     gc_dq_idx = np.concatenate([
         np.arange(layout.slices['x']['d' + name].start, layout.slices['x']['d' + name].stop) + x_off
-        for name in gc_names])
+        for name in gc_names]).astype(np.int32)
     q_scale_gc = scale_full[gc_q_idx]
     dq_scale_gc = scale_full[gc_dq_idx]
 

@@ -26,7 +26,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  kappa_mu: float = 0.8, mu_min: float = 1e-8,
                  n_ladder: int = 7, ladder_factor: float = 100.,
                  kkt: str = 'auto', hessian: str = 'exact',
-                 split: bool = False, solve_dtype=None):
+                 split: bool = False, solve_dtype=None,
+                 auglu_factor: str = 'qr'):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -179,7 +180,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
 
         if kkt == 'auglu':
             dw, dnu, ok = _auglu_solve(W0, A, D, r1, r2, free, n, delta_w,
-                                       delta_ce, n_ladder, ladder_factor)
+                                       delta_ce, n_ladder, ladder_factor,
+                                       factor=auglu_factor)
             idt = W0.dtype
             dw = jnp.where(ok & jnp.isfinite(dw), dw, 0.).astype(idt)
             dnu = jnp.where(ok & jnp.isfinite(dnu), dnu, 0.).astype(idt)
@@ -261,7 +263,7 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
 
 
 def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
-                 ladder_factor, dw_cap=1e4, n_refine=2):
+                 ladder_factor, dw_cap=1e4, n_refine=2, factor='qr'):
     """f32 pivoted-LU solve of the row-equilibrated augmented KKT system with
     f64-residual iterative refinement (the 'auglu' mode of make_ip_step).
 
@@ -281,24 +283,70 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
     absurd step; treat it as failed, mirroring IPOptions.dw_cap)."""
     fdt = jnp.float32
     rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    rn = 1.0 / jnp.clip(jnp.max(jnp.abs(A), axis=1), 1e-10, 1e10)
-    rn = jnp.clip(rn, 0., 1e6).astype(rdt)
-    A_e = A.astype(rdt) * rn[:, None]
+    # All O(n^2) assembly stays f32 (f64 emulation on TPU taxes elementwise
+    # work ~100x); f64 appears only in O(n)-sized vectors and in the
+    # refinement residual, computed in BLOCK form from one-off f64 casts of
+    # the f32 matrices (their f32-rounded values ARE the system we solve).
+    rn32 = jnp.clip(1.0 / jnp.clip(jnp.max(jnp.abs(A), axis=1), 1e-10, 1e10),
+                    0., 1e6).astype(fdt)
+    rn = rn32.astype(rdt)
+    W32 = W0.astype(fdt)
+    A32 = A.astype(fdt) * rn32[:, None]
     D_e = D.astype(rdt) * rn * rn
+    D32 = D_e.astype(fdt)
     r1_h = r1.astype(rdt)
     r2_e = r2.astype(rdt) * rn
     b = jnp.concatenate([r1_h, -r2_e])
-    diag_free = jnp.diag(free.astype(rdt))
-    W0h = W0.astype(rdt)
+    free32 = free.astype(fdt)
     D_reg = D_e + delta_ce
+    Dr32 = D_reg.astype(fdt)
+    # one-off f64 views for the block-form residual matvecs
+    W64 = W32.astype(rdt)
+    A64 = A32.astype(rdt)
 
     def attempt(delta):
-        Wd = W0h + delta * diag_free
-        K = jnp.block([[Wd, A_e.T], [A_e, -jnp.diag(D_reg)]])
-        kdiag = jnp.concatenate([jnp.abs(jnp.diag(Wd)), D_reg])
-        kd = jnp.clip(1.0 / jnp.sqrt(jnp.clip(kdiag, 1e-8, None)),
-                      0., 1e4).astype(fdt)
-        Ks = K.astype(fdt) * kd[:, None] * kd[None, :]
+        d32 = jnp.asarray(delta, fdt)
+        Wd = W32 + d32 * jnp.diag(free32)
+        K = jnp.block([[Wd, A32.T], [A32, -jnp.diag(Dr32)]])
+        if factor == 'qr':
+            # Householder QR: no pivoting (blocked, matmul-heavy — measured
+            # ~1.7x faster than pivoted LU on TPU at this size) and stable
+            # on the indefinite K. XLA's QR carries an ABSOLUTE (not
+            # columnwise-relative) f32 backward error, so the matrix must be
+            # Ruiz-equilibrated to |entries| ~ 1 first: with plain Jacobi
+            # scaling (tiny saddle diagonals -> entries up to 1e8) the QR
+            # solve is ~1e-3 and refinement stalls; after 3 Ruiz sweeps the
+            # direct solve reaches ~4e-6 scaled residual (measured,
+            # anchor K). One guarded f64-residual sweep then keeps whichever
+            # iterate has the smaller true residual.
+            s = jnp.ones(n + A.shape[0], fdt)
+            M = K
+            for _ in range(3):
+                rr = jnp.sqrt(jnp.clip(jnp.max(jnp.abs(M), axis=1),
+                                       1e-12, None))
+                s = s / rr
+                M = K * s[:, None] * s[None, :]
+            Q, R = jnp.linalg.qr(M)
+            M64 = M.astype(rdt)
+            c = (b * s).astype(rdt)
+
+            def msolve(v32):
+                return jax.scipy.linalg.solve_triangular(
+                    R, Q.T @ v32, lower=False).astype(rdt)
+
+            z = msolve(c.astype(fdt))
+            r0 = c - M64 @ z
+            z1 = z + msolve(r0.astype(fdt))
+            r1n = c - M64 @ z1
+            better = (jnp.max(jnp.abs(r1n)) < jnp.max(jnp.abs(r0)))
+            z = jnp.where(better, z1, z)
+            x = (s.astype(rdt)) * z
+            ok = jnp.all(jnp.isfinite(x)) & (jnp.max(jnp.abs(x[:n])) <= dw_cap)
+            return x, ok
+
+        kdiag = jnp.concatenate([jnp.abs(jnp.diag(Wd)), Dr32])
+        kd = jnp.clip(1.0 / jnp.sqrt(jnp.clip(kdiag, 1e-8, None)), 0., 1e4)
+        Ks = K * kd[:, None] * kd[None, :]
         lu, piv = jax.scipy.linalg.lu_factor(Ks)
 
         def ksolve(v):
@@ -307,8 +355,10 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
 
         x = ksolve(b.astype(fdt))
         for _ in range(n_refine):
-            r = b - K @ x
-            x = x + ksolve(r.astype(fdt))
+            xw, xnu = x[:n], x[n:]
+            r_w = r1_h - (W64 @ xw + delta * (free * xw) + A64.T @ xnu)
+            r_nu = -r2_e - (A64 @ xw - D_reg * xnu)
+            x = x + ksolve(jnp.concatenate([r_w, r_nu]).astype(fdt))
         ok = jnp.all(jnp.isfinite(x)) & (jnp.max(jnp.abs(x[:n])) <= dw_cap)
         return x, ok
 

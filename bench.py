@@ -128,6 +128,7 @@ def _stage(name):
 
 def inner():
     _stage('startup')
+    t_start = time.time()
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -173,8 +174,9 @@ def inner():
     # replaced the emulated-f64 condensed path (see parallel/batch.py
     # _auglu_solve and docs/kkt_design_notes.md)
     kkt = os.environ.get('BENCH_KKT', 'auglu')
-    dtype = ('f32 derivs + f32 aug-LU + f64 refine' if kkt == 'auglu'
-             else 'f32 derivs + f64 KKT')
+    factor = os.environ.get('BENCH_FACTOR', 'qr')
+    dtype = (f'f32 derivs + f32 aug-{factor.upper()} + f64 refine'
+             if kkt == 'auglu' else 'f32 derivs + f64 KKT')
     # exact Lagrangian Hessian: gauss_newton compiles ~3x smaller but
     # oscillates on this workload (constraint curvature IS the physics here)
     hess = os.environ.get('BENCH_HESS', 'exact')
@@ -283,18 +285,24 @@ def inner():
 
         _stage('XLA compile: block step module')
         t_c = time.time()
-        state1 = one_iter(state)
-        jax.block_until_ready(state1)
+        jax.block_until_ready(one_iter(state))
         compile_s = {'block': time.time() - t_c}
         print(f'# block step module ready {compile_s["block"]:.1f}s',
               file=sys.stderr, flush=True)
-        compile_jobs = (('block', step_jit, (state, P64)),)
+        compile_jobs = (('block', step_jit, (state, P64), 1.0),)
         meta = dict(n_k=ocp.n_k, d=ocp.d, spread=spread, kappa_mu=0.8,
                     u_ref_lo=float(u_refs[0]), u_ref_hi=float(u_refs[-1]))
-        return _run_loop(one_iter, None, state1, compile_s, compile_jobs,
-                         ocp, P64, B, dtype, kkt, hess, tol, verify_tol, meta)
+        return _run_loop(one_iter, state, compile_s, compile_jobs, ocp,
+                         P64, B, dtype, kkt, hess, tol, verify_tol, meta)
 
-    # four separately-jitted modules chained host-side (see module docstring)
+    # Per-iteration modules, chained host-side (see module docstring):
+    #   vals64 (f64 values/gradient - exact residuals, ~5 ms emulated)
+    #   jac + hess (f32, x64 scoped off - the FLOP-heavy derivative work)
+    #   direction (auglu: f32 factorization + f64 refinement)
+    # A single phase: f64 values cost only ~5 ms/iter on this chip, so the
+    # earlier f32-values "phase 1" bought nothing (round-5 measurement;
+    # its one purpose was avoiding a 1.2 s/iter f64 vals cost that turned
+    # out to be a round-4 measurement artifact).
     from awebox_tpu.ocp.structured import make_structured_derivs
     vals_fn, jac_fn, hess_fn = make_structured_derivs(ocp, hessian=hess,
                                                       parts=True)
@@ -303,12 +311,13 @@ def inner():
     # schedule (CPU-validated round 5)
     kappa_mu = float(os.environ.get('BENCH_KAPPA_MU', '0.4'))
     _, direction = make_ip_step(ocp, kkt=kkt, hessian=hess, split=True,
-                                solve_dtype='float64', kappa_mu=kappa_mu)
+                                solve_dtype='float64', kappa_mu=kappa_mu,
+                                auglu_factor=factor)
 
     def f32_module(jitted):
-        # trace + run the derivative modules with x64 scoped OFF so every
-        # internal constant stays f32; the jit cache key includes the flag,
-        # so always call through this wrapper
+        # trace + run the f32 derivative modules with x64 scoped OFF so
+        # every internal constant stays f32; the jit cache key includes the
+        # flag, so always call through this wrapper
         def call(*args):
             with jax.enable_x64(False):
                 return jitted(*args)
@@ -319,14 +328,8 @@ def inner():
         call.lower = lower
         return call
 
-    vals_jit = f32_module(jax.jit(jax.vmap(vals_fn, in_axes=(0, 0, 0, 0))))
     jac_jit = f32_module(jax.jit(jax.vmap(jac_fn, in_axes=(0, 0))))
     hess_jit = f32_module(jax.jit(jax.vmap(hess_fn, in_axes=(0, 0, 0, 0))))
-    # polish-phase values module: full f64 (emulated on TPU — pays the
-    # elementwise tax ONCE per polish iteration, of which ~2-3 are needed).
-    # f32 constraint values carry ~1e-4 absolute noise, so phase 1 stalls at
-    # err ~ 1.3e-4 > tol; exact residuals + f32 J/H (inexact Newton) drop
-    # eq to ~1e-8 and err under tol within 2 iterations (CPU-validated).
     vals64_jit = jax.jit(jax.vmap(vals_fn, in_axes=(0, 0, 0, 0)))
     dir_jit = jax.jit(jax.vmap(
         lambda st, dv: direction(st, dv, lbw, ubw, free), in_axes=(0, 0)))
@@ -336,30 +339,33 @@ def inner():
 
     def one_iter(st):
         w32, y32, l32 = cast3(st['w'], st['y'], st['lam'])
-        fval, gradf, cE, cI = vals_jit(w32, y32, l32, P_batch)
-        JE, JI = jac_jit(w32, P_batch)
-        H = hess_jit(w32, y32, l32, P_batch)
-        return dir_jit(st, (fval, gradf, cE, cI, JE, JI, H))
-
-    def polish_iter(st):
-        w32, y32, l32 = cast3(st['w'], st['y'], st['lam'])
         fval, gradf, cE, cI = vals64_jit(st['w'], st['y'], st['lam'], P64)
         JE, JI = jac_jit(w32, P_batch)
         H = hess_jit(w32, y32, l32, P_batch)
         return dir_jit(st, (fval, gradf, cE, cI, JE, JI, H))
 
-    # The compile service is remote (shared axon backend): submit all three
+    meta = dict(n_k=ocp.n_k, d=ocp.d, spread=spread, kappa_mu=kappa_mu,
+                u_ref_lo=float(u_refs[0]), u_ref_hi=float(u_refs[-1]),
+                t_start=t_start)
+    # the f64 verification module compiles CONCURRENTLY with the solve
+    # modules so it cannot blow the deadline after the loop finishes
+    # (round-5 lesson: a post-loop 40 s eq-module compile ate the run)
+    eq_batched = jax.jit(jax.vmap(ocp.eq_fn, in_axes=(0, 0)))
+    meta['eq_batched'] = eq_batched
+    from threading import Thread
+    eq_warm = Thread(target=lambda: jax.block_until_ready(
+        eq_batched(state['w'], P64)))
+    eq_warm.start()
+    meta['eq_warm_thread'] = eq_warm
+
+    # the compile service is remote (shared axon backend): submit the
     # derivative modules CONCURRENTLY so total compile wall approaches
-    # max(module) instead of sum(module); each lands in the persistent cache
-    # independently, so a deadline-killed run still leaves its finished
-    # modules cached for the retry. BENCH_COMPILE=seq restores serial order.
+    # max(module); each lands in the persistent cache independently, so a
+    # deadline-killed run still leaves its finished modules cached for the
+    # retry. BENCH_COMPILE=seq restores serial order.
     compile_s = {}
     w0, y0, l0 = state['w'], state['y'], state['lam']
     w32_0, y32_0, l32_0 = cast3(w0, y0, l0)
-    jobs = (('vals', vals_jit, (w32_0, y32_0, l32_0, P_batch)),
-            ('jac', jac_jit, (w32_0, P_batch)),
-            ('hess', hess_jit, (w32_0, y32_0, l32_0, P_batch)),
-            ('vals64', vals64_jit, (w0, y0, l0, P64)))
 
     def _compile_one(name, prog, args):
         t_c = time.time()
@@ -368,15 +374,18 @@ def inner():
         print(f'# {name} module ready {compile_s[name]:.1f}s',
               file=sys.stderr, flush=True)
 
+    jobs = (('jac', jac_jit, (w32_0, P_batch)),
+            ('hess', hess_jit, (w32_0, y32_0, l32_0, P_batch)),
+            ('vals64', vals64_jit, (w0, y0, l0, P64)))
     if os.environ.get('BENCH_COMPILE', 'par') == 'seq':
         for name, prog, args in jobs:
             _stage(f'XLA compile: {name} module')
             _compile_one(name, prog, args)
     else:
         from concurrent.futures import ThreadPoolExecutor
-        _stage('XLA compile: vals+jac+hess+vals64 modules (concurrent)')
+        _stage('XLA compile: jac+hess+vals64 modules (concurrent)')
         t_c = time.time()
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [pool.submit(_compile_one, *job) for job in jobs]
             for f in futs:
                 f.result()
@@ -384,33 +393,24 @@ def inner():
               file=sys.stderr, flush=True)
     _stage('XLA compile: direction module')
     t_c = time.time()
-    state1 = one_iter(state)
-    jax.block_until_ready(state1)
+    jax.block_until_ready(one_iter(state))
     compile_s['dir'] = time.time() - t_c
     print(f'# direction module ready {compile_s["dir"]:.1f}s',
           file=sys.stderr, flush=True)
-    _stage('XLA compile: polish direction variant')
-    t_c = time.time()
-    jax.block_until_ready(polish_iter(state))
-    compile_s['polish'] = time.time() - t_c
-    print(f'# polish variant ready {compile_s["polish"]:.1f}s',
-          file=sys.stderr, flush=True)
 
-    dv0 = (tuple(vals_jit(w32_0, y32_0, l32_0, P_batch))
+    dv0 = (tuple(vals64_jit(w0, y0, l0, P64))
            + tuple(jac_jit(w32_0, P_batch))
            + (hess_jit(w32_0, y32_0, l32_0, P_batch),))
-    compile_jobs = (('vals', vals_jit, (w32_0, y32_0, l32_0, P_batch)),
-                    ('jac', jac_jit, (w32_0, P_batch)),
-                    ('hess', hess_jit, (w32_0, y32_0, l32_0, P_batch)),
-                    ('dir', dir_jit, (state, dv0)))
-    meta = dict(n_k=ocp.n_k, d=ocp.d, spread=spread, kappa_mu=kappa_mu,
-                u_ref_lo=float(u_refs[0]), u_ref_hi=float(u_refs[-1]))
-    return _run_loop(one_iter, polish_iter, state1, compile_s, compile_jobs,
-                     ocp, P64, B, dtype, kkt, hess, tol, verify_tol, meta)
+    compile_jobs = (('vals64', vals64_jit, (w0, y0, l0, P64), 1.0),
+                    ('jac', jac_jit, (w32_0, P_batch), 1.0),
+                    ('hess', hess_jit, (w32_0, y32_0, l32_0, P_batch), 1.0),
+                    ('dir', dir_jit, (state, dv0), 1.0))
+    return _run_loop(one_iter, state, compile_s, compile_jobs, ocp, P64, B,
+                     dtype, kkt, hess, tol, verify_tol, meta)
 
 
-def _run_loop(one_iter, polish_iter, state1, compile_s, compile_jobs, ocp,
-              P64, B, dtype, kkt, hess, tol, verify_tol, meta):
+def _run_loop(step, state0, compile_s, compile_jobs, ocp, P64, B, dtype,
+              kkt, hess, tol, verify_tol, meta):
     import numpy as np
     import jax
 
@@ -419,88 +419,79 @@ def _run_loop(one_iter, polish_iter, state1, compile_s, compile_jobs, ocp,
     # module whose cost analysis fails is named in the emitted unit string.
     flops_per_iter = 0.0
     flop_fail = []
-    for name, prog, args in compile_jobs:
+    for name, prog, args, scale in compile_jobs:
         try:
             cost = prog.lower(*args).compile().cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0]
-            flops_per_iter += float(cost.get('flops', 0.))
+            flops_per_iter += float(cost.get('flops', 0.)) * scale
         except Exception as exc:
             flop_fail.append(f'{name}:{type(exc).__name__}')
 
     _stage('timed solve loop')
-    # Phase 1 (f32 modules) runs to the f32-derivative noise floor; phase 2
-    # (f64 values + f32 J/H) polishes below tol. A lane counts as converged
-    # when its in-jit KKT error dips under tol at ANY polish burst (latched
-    # host-side: the err floor bounces +-2x around tol from f32 J/H noise,
-    # but eq residual stays ~1e-7 once latched — verified below in f64).
-    # The loop breaks early when the remaining wall budget cannot fit
-    # another burst, so a slow backend still reports whatever converged.
-    loop_budget = float(os.environ.get('BENCH_LOOP_BUDGET_S', '240'))
-    p1_tol = float(os.environ.get('BENCH_P1_TOL', '2e-4'))
-    p1_cap = int(os.environ.get('BENCH_P1_CAP', '60'))
-    state = state1
-    n_iter = 1
+    # Single phase: every iteration uses exact (f64) residual values with
+    # f32 J/H and the f32-factored direction. A lane counts as converged
+    # when its in-jit KKT error dips under tol at ANY sync point (latched
+    # host-side: the err floor bounces around tol from f32 J/H noise, but
+    # the eq residual stays ~1e-7 once latched - verified below in f64).
+    # Sync (err fetch) only once per burst: each fetch drains the async
+    # dispatch pipeline over the tunnel. The loop budget adapts to the wall
+    # already burned on build + compile, reserving a margin for
+    # verification, so a cold-cache run degrades to fewer iterations
+    # instead of a deadline fallback.
+    spent = time.time() - meta.get('t_start', time.time())
+    adaptive = max(60.0, DEADLINE_S - spent - 45.0)
+    loop_budget = min(float(os.environ.get('BENCH_LOOP_BUDGET_S', '240')),
+                      adaptive)
+    burst = int(os.environ.get('BENCH_BURST', '5'))
+    stale_limit = int(os.environ.get('BENCH_STALE_LIMIT', '4'))
+    state = state0
+    n_iters = 0
+    latched = np.zeros(B, dtype=bool)
+    stale = 0
     t0 = time.time()
-    while n_iter < min(p1_cap, N_ITER_CAP):
-        burst = min(5, p1_cap - n_iter)
+    while n_iters < N_ITER_CAP:
         for _ in range(burst):
-            state = one_iter(state)
-        n_iter += burst
+            state = step(state)
+        n_iters += burst
         err = np.asarray(state['err'])
+        newly = (err <= tol) & ~latched
+        latched |= err <= tol
+        stale = 0 if newly.any() else stale + 1
         elapsed = time.time() - t0
-        if np.all(err <= p1_tol):
+        if latched.all() or (latched.mean() >= 0.5 and stale >= stale_limit):
             break
-        if elapsed + burst * (elapsed / (n_iter - 1)) > 0.6 * loop_budget:
-            print(f'# phase-1 budget reached at iter {n_iter}',
+        if elapsed + burst * (elapsed / n_iters) > loop_budget:
+            print(f'# loop budget reached at iter {n_iters}',
                   file=sys.stderr, flush=True)
             break
     jax.block_until_ready(state)
-    t1 = time.time()
-    p1_iters = n_iter - 1
-    p1_ms = (t1 - t0) / max(p1_iters, 1) * 1e3
-    print(f'# phase 1: {p1_iters} iters, {p1_ms:.1f} ms/iter, '
+    elapsed = time.time() - t0          # loop time only, compiles excluded
+    per_iter = elapsed / max(n_iters, 1)
+    ms_iter = per_iter * 1e3
+    print(f'# loop: {n_iters} iters, {ms_iter:.1f} ms/iter, '
+          f'latched {int(latched.sum())}/{B}, '
           f'max err {np.asarray(state["err"]).max():.2e}',
           file=sys.stderr, flush=True)
-
-    latched = np.zeros(B, dtype=bool)
-    p2_iters = 0
-    if polish_iter is not None:
-        p2_cap = int(os.environ.get('BENCH_P2_CAP', '20'))
-        while p2_iters < p2_cap:
-            for _ in range(2):
-                state = polish_iter(state)
-            p2_iters += 2
-            err = np.asarray(state['err'])
-            latched |= err <= tol
-            elapsed = time.time() - t1
-            if latched.all():
-                break
-            if (time.time() - t0) + 2 * (elapsed / p2_iters) > loop_budget:
-                print(f'# loop budget reached in polish at iter {p2_iters}',
-                      file=sys.stderr, flush=True)
-                break
-        jax.block_until_ready(state)
-        p2_ms = (time.time() - t1) / max(p2_iters, 1) * 1e3
-        print(f'# phase 2: {p2_iters} iters, {p2_ms:.1f} ms/iter, '
-              f'latched {int(latched.sum())}/{B}',
-              file=sys.stderr, flush=True)
-    else:
-        latched = np.asarray(state['err']) <= tol
-        p2_ms = 0.0
-    n_iter = p1_iters + p2_iters
-    elapsed = time.time() - t0          # loop time only, compiles excluded
-    per_iter = elapsed / max(n_iter, 1)
 
     # convergence accounting: latched in-jit KKT error + independent
     # full-horizon f64 dynamics verification of the final iterate
     _stage('verification')
     W = np.asarray(state['w'])
-    eq_batched = jax.jit(jax.vmap(ocp.eq_fn, in_axes=(0, 0)))
+    eq_batched = meta.get('eq_batched') or jax.jit(
+        jax.vmap(ocp.eq_fn, in_axes=(0, 0)))
+    if meta.get('eq_warm_thread') is not None:
+        meta['eq_warm_thread'].join()
     eq_res = np.max(np.abs(np.asarray(eq_batched(state['w'], P64))), axis=1)
     finite = np.isfinite(W).all(axis=1)
     converged = finite & latched & (eq_res <= verify_tol)
     n_conv = int(converged.sum())
+    if n_conv < B:
+        bad = np.where(~converged)[0][:8]
+        err = np.asarray(state['err'])
+        detail = ', '.join(f'lane{i}: err={err[i]:.1e} eq={eq_res[i]:.1e}'
+                           for i in bad)
+        print(f'# unconverged: {detail}', file=sys.stderr, flush=True)
 
     solves_per_s = n_conv / elapsed if elapsed > 0 else 0.0
     achieved_flops = flops_per_iter / per_iter if per_iter > 0 else 0.0
@@ -526,8 +517,7 @@ def _run_loop(one_iter, polish_iter, state1, compile_s, compile_jobs, ocp,
                  f'+ f64 eq<={verify_tol:g}, ampyx 3dof n_k={meta["n_k"]} '
                  f'd={meta["d"]} wind {meta["u_ref_lo"]:.1f}..'
                  f'{meta["u_ref_hi"]:.1f} m/s, {dtype}, kkt={kkt}, '
-                 f'hess={hess}, {p1_iters}+{p2_iters} iters at '
-                 f'{p1_ms:.0f}+{p2_ms:.0f} ms/iter, '
+                 f'hess={hess}, {n_iters} iters at {ms_iter:.0f} ms/iter, '
                  f'compile {"+".join(f"{compile_s[k]:.0f}" for k in compile_s)}s, '
                  f'{achieved_flops / 1e12:.2f} TFLOP/s, MFU~{mfu * 100:.2f}% '
                  f'of bf16 peak{flop_note}, '
@@ -536,10 +526,8 @@ def _run_loop(one_iter, polish_iter, state1, compile_s, compile_jobs, ocp,
         'workload': dict(B=B, n_k=meta['n_k'], d=meta['d'],
                          spread=meta['spread'], kkt=kkt, hess=hess,
                          dtype=dtype, tol=tol, verify_tol=verify_tol,
-                         kappa_mu=meta['kappa_mu'],
-                         p1_iters=p1_iters, p2_iters=p2_iters,
-                         p1_ms_per_iter=round(p1_ms, 1),
-                         p2_ms_per_iter=round(p2_ms, 1),
+                         kappa_mu=meta['kappa_mu'], n_iters=n_iters,
+                         ms_per_iter=round(ms_iter, 1),
                          n_converged=n_conv),
     })
 
@@ -548,6 +536,8 @@ def _inner_guarded():
     try:
         inner()
     except BaseException as exc:   # device faults must still emit a line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
         _emit({
             'metric': 'batched_converged_solves_per_s',
             'value': 0.0,
