@@ -27,7 +27,7 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  n_ladder: int = 7, ladder_factor: float = 100.,
                  kkt: str = 'auto', hessian: str = 'exact',
                  split: bool = False, solve_dtype=None,
-                 auglu_factor: str = 'qr'):
+                 auglu_factor: str = 'qr', auglu_mode: Optional[str] = None):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -179,9 +179,11 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
         r1 = -(gradf + A.T @ jnp.concatenate([y, lam]) - mu / dl + mu / du) * free
 
         if kkt == 'auglu':
-            dw, dnu, ok = _auglu_solve(W0, A, D, r1, r2, free, n, delta_w,
-                                       delta_ce, n_ladder, ladder_factor,
-                                       factor=auglu_factor)
+            fac_in = state.get('fac') if auglu_mode == 'stale' else None
+            dw, dnu, ok, fac_out = _auglu_solve(
+                W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
+                ladder_factor, factor=auglu_factor, mode=auglu_mode,
+                fac=fac_in)
             idt = W0.dtype
             dw = jnp.where(ok & jnp.isfinite(dw), dw, 0.).astype(idt)
             dnu = jnp.where(ok & jnp.isfinite(dnu), dnu, 0.).astype(idt)
@@ -193,9 +195,14 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             err_p = jnp.max(jnp.abs(cE), initial=0.)
             if n_ineq:
                 err_p = jnp.maximum(err_p, jnp.max(jnp.abs(cI + s)))
-            return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
-                                  err_d, lbw, ubw, n_ineq, tau, kappa_mu,
-                                  mu_min, err_kkt=jnp.maximum(err_d, err_p))
+            out = _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
+                                 err_d, lbw, ubw, n_ineq, tau, kappa_mu,
+                                 mu_min, err_kkt=jnp.maximum(err_d, err_p))
+            if auglu_mode == 'refresh':
+                out['fac'] = fac_out
+            elif auglu_mode == 'stale':
+                out['fac'] = state['fac']
+            return out
 
         W0 = W0.astype(sdt)
         As = A.astype(sdt) / jnp.sqrt(D.astype(sdt))[:, None]
@@ -263,20 +270,40 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
 
 
 def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
-                 ladder_factor, dw_cap=1e4, n_refine=2, factor='qr'):
-    """f32 pivoted-LU solve of the row-equilibrated augmented KKT system with
-    f64-residual iterative refinement (the 'auglu' mode of make_ip_step).
+                 ladder_factor, dw_cap=1e4, n_refine=2, factor='qr',
+                 mode=None, fac=None):
+    """f32 factorization of the row-equilibrated augmented KKT system with
+    refinement (the 'auglu' mode of make_ip_step).
 
         K(delta) = [[W0 + delta*diag(free), A'^T], [A', -(D' + delta_ce)]]
         A' = R A,  D' = R D R,  duals recovered as nu = R nu'
 
-    Partial pivoting plays MA57's symmetric-indefinite-pivoting role
-    (reference opts/default.py:322): it factors the indefinite K without
-    requiring W0 PD (the condensed path's hidden assumption). The O(n^3)
-    factorization runs in f32 on the MXU; refinement residuals run in f64
-    (emulated on TPU — O(n^2) matvecs only). Measured at the bench anchor:
-    cond(Jacobi-scaled K) ~ 2e9, refined residual ~3e-9, matching the f64
-    factorization exactly (benchmarks/repro_f32_schur.py).
+    factor='lu': partial-pivoted LU plays MA57's symmetric-indefinite-
+    pivoting role (reference opts/default.py:322) — it factors the
+    indefinite K without requiring W0 PD (the condensed path's hidden
+    assumption). Jacobi-scaled; two f64 block-form refinement sweeps reach
+    residual ~3e-9 at the bench anchor (benchmarks/repro_f32_schur.py).
+
+    factor='qr' (default): Householder QR — no pivoting (blocked,
+    matmul-heavy: measured ~1.7x faster than pivoted LU on TPU at bench
+    size) and stable on the indefinite K. XLA's QR carries an ABSOLUTE
+    (not columnwise-relative) f32 backward error, so the matrix is
+    Ruiz-equilibrated to |entries| ~ 1 first: with plain Jacobi scaling
+    (tiny saddle diagonals -> entries up to 1e8) the QR solve is ~1e-3 and
+    refinement stalls; after 3 Ruiz sweeps the direct solve reaches ~4e-6
+    scaled residual (measured, anchor K). Guarded refinement sweeps keep
+    whichever iterate has the smaller true residual.
+
+    mode (qr only): None = stateless (factor every call).
+    'refresh' = also return the factorization as `fac` for reuse.
+    'stale' = SKIP the O(n^3) factorization: reuse `fac` from a previous
+    refresh as a preconditioner for iterative refinement against the
+    CURRENT K (assembled fresh in f32, O(n^2)). In a continuation loop K
+    changes slowly between iterations, so 3 preconditioned sweeps recover
+    the direction at a fraction of the cost; the `ok` gate (relative
+    residual, finiteness, |dw| cap) rejects the step when the stale factor
+    has drifted too far, and the iterate then stands still until the next
+    refresh (IPOPT-watchdog-like semantics).
 
     The in-jit ladder raises delta until the solution is finite and
     |dw|_inf <= dw_cap (a near-singular factorization yields a finite but
@@ -285,41 +312,64 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
     rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     # All O(n^2) assembly stays f32 (f64 emulation on TPU taxes elementwise
     # work ~100x); f64 appears only in O(n)-sized vectors and in the
-    # refinement residual, computed in BLOCK form from one-off f64 casts of
-    # the f32 matrices (their f32-rounded values ARE the system we solve).
+    # refinement residual, computed from one-off f64 casts of the f32
+    # matrices (their f32-rounded values ARE the system we solve).
     rn32 = jnp.clip(1.0 / jnp.clip(jnp.max(jnp.abs(A), axis=1), 1e-10, 1e10),
                     0., 1e6).astype(fdt)
     rn = rn32.astype(rdt)
     W32 = W0.astype(fdt)
     A32 = A.astype(fdt) * rn32[:, None]
     D_e = D.astype(rdt) * rn * rn
-    D32 = D_e.astype(fdt)
     r1_h = r1.astype(rdt)
     r2_e = r2.astype(rdt) * rn
     b = jnp.concatenate([r1_h, -r2_e])
     free32 = free.astype(fdt)
     D_reg = D_e + delta_ce
     Dr32 = D_reg.astype(fdt)
-    # one-off f64 views for the block-form residual matvecs
-    W64 = W32.astype(rdt)
-    A64 = A32.astype(rdt)
 
-    def attempt(delta):
+    def assemble(delta):
         d32 = jnp.asarray(delta, fdt)
         Wd = W32 + d32 * jnp.diag(free32)
-        K = jnp.block([[Wd, A32.T], [A32, -jnp.diag(Dr32)]])
-        if factor == 'qr':
-            # Householder QR: no pivoting (blocked, matmul-heavy — measured
-            # ~1.7x faster than pivoted LU on TPU at this size) and stable
-            # on the indefinite K. XLA's QR carries an ABSOLUTE (not
-            # columnwise-relative) f32 backward error, so the matrix must be
-            # Ruiz-equilibrated to |entries| ~ 1 first: with plain Jacobi
-            # scaling (tiny saddle diagonals -> entries up to 1e8) the QR
-            # solve is ~1e-3 and refinement stalls; after 3 Ruiz sweeps the
-            # direct solve reaches ~4e-6 scaled residual (measured,
-            # anchor K). One guarded f64-residual sweep then keeps whichever
-            # iterate has the smaller true residual.
-            s = jnp.ones(n + A.shape[0], fdt)
+        return jnp.block([[Wd, A32.T], [A32, -jnp.diag(Dr32)]])
+
+    if factor == 'qr':
+        def solve_with(Q, R, s, K, n_sweeps):
+            M = K * s[:, None] * s[None, :]
+            M64 = M.astype(rdt)
+            c = b * s.astype(rdt)
+
+            def msolve(v32):
+                return jax.scipy.linalg.solve_triangular(
+                    R, Q.T @ v32, lower=False).astype(rdt)
+
+            z = msolve(c.astype(fdt))
+            res = c - M64 @ z
+            best = jnp.max(jnp.abs(res))
+            for _ in range(n_sweeps):
+                z1 = z + msolve(res.astype(fdt))
+                res1 = c - M64 @ z1
+                b1 = jnp.max(jnp.abs(res1))
+                better = b1 < best
+                z = jnp.where(better, z1, z)
+                res = jnp.where(better, res1, res)
+                best = jnp.minimum(best, b1)
+            x = s.astype(rdt) * z
+            rel = best / jnp.maximum(jnp.max(jnp.abs(c)), 1e-30)
+            ok = (jnp.all(jnp.isfinite(x))
+                  & (jnp.max(jnp.abs(x[:n])) <= dw_cap)
+                  & (rel <= 1e-3))
+            return x, ok
+
+        if mode == 'stale':
+            Q, R, s = fac
+            K = assemble(delta_w)
+            x, ok = solve_with(Q, R, s, K, n_sweeps=3)
+            dw = x[:n] * free.astype(rdt)
+            return dw, rn * x[n:], ok, fac
+
+        def attempt(delta):
+            K = assemble(delta)
+            s = jnp.ones(K.shape[0], fdt)
             M = K
             for _ in range(3):
                 rr = jnp.sqrt(jnp.clip(jnp.max(jnp.abs(M), axis=1),
@@ -327,24 +377,35 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
                 s = s / rr
                 M = K * s[:, None] * s[None, :]
             Q, R = jnp.linalg.qr(M)
-            M64 = M.astype(rdt)
-            c = (b * s).astype(rdt)
+            x, ok = solve_with(Q, R, s, K, n_sweeps=1)
+            return x, ok, (Q, R, s)
 
-            def msolve(v32):
-                return jax.scipy.linalg.solve_triangular(
-                    R, Q.T @ v32, lower=False).astype(rdt)
+        x0, ok0, fac0 = attempt(jnp.asarray(delta_w, rdt))
 
-            z = msolve(c.astype(fdt))
-            r0 = c - M64 @ z
-            z1 = z + msolve(r0.astype(fdt))
-            r1n = c - M64 @ z1
-            better = (jnp.max(jnp.abs(r1n)) < jnp.max(jnp.abs(r0)))
-            z = jnp.where(better, z1, z)
-            x = (s.astype(rdt)) * z
-            ok = jnp.all(jnp.isfinite(x)) & (jnp.max(jnp.abs(x[:n])) <= dw_cap)
-            return x, ok
+        def ladder_cond(carry):
+            k, _, _, ok, _ = carry
+            return jnp.logical_and(~ok, k < n_ladder)
 
-        kdiag = jnp.concatenate([jnp.abs(jnp.diag(Wd)), Dr32])
+        def ladder_body(carry):
+            k, delta, _, _, _ = carry
+            delta = jnp.maximum(delta * ladder_factor, delta_w)
+            x, ok, fc = attempt(delta)
+            return k + 1, delta, x, ok, fc
+
+        _, _, x, ok, fac_out = jax.lax.while_loop(
+            ladder_cond, ladder_body,
+            (jnp.asarray(0), jnp.asarray(delta_w, rdt), x0, ok0, fac0))
+        dw = x[:n] * free.astype(rdt)
+        return dw, rn * x[n:], ok, fac_out
+
+    # factor == 'lu'
+    W64 = W32.astype(rdt)
+    A64 = A32.astype(rdt)
+
+    def attempt(delta):
+        K = assemble(delta)
+        Wd_diag = jnp.diag(K)[:n]
+        kdiag = jnp.concatenate([jnp.abs(Wd_diag), Dr32])
         kd = jnp.clip(1.0 / jnp.sqrt(jnp.clip(kdiag, 1e-8, None)), 0., 1e4)
         Ks = K * kd[:, None] * kd[None, :]
         lu, piv = jax.scipy.linalg.lu_factor(Ks)
@@ -379,7 +440,7 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
         (jnp.asarray(0), jnp.asarray(delta_w, rdt), x0, ok0))
     dw = x[:n] * free.astype(rdt)
     dnu = rn * x[n:]
-    return dw, dnu, ok
+    return dw, dnu, ok, None
 
 
 def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,

@@ -139,11 +139,14 @@ def inner():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
-    # TPU MXU lowers f32 matmuls to bf16 by default; the LU factorization at
+    # TPU MXU lowers f32 matmuls to bf16 by default; the factorization at
     # cond(K) ~ 2e9 (and the constraint Jacobians feeding it) need true f32
-    # accumulation. 'highest' uses the 6-pass f32 MXU emulation — still
-    # MXU-speed, and the difference between 0/128 and full convergence.
-    jax.config.update('jax_default_matmul_precision', 'highest')
+    # accumulation — bf16 default is the difference between 0/128 and full
+    # convergence. 'highest' is the 6-pass f32 MXU emulation; 'high'
+    # (3-pass) is ~2x cheaper on the MXU and benches within noise of
+    # 'highest' on convergence.
+    jax.config.update('jax_default_matmul_precision',
+                      os.environ.get('BENCH_MATMUL_PRECISION', 'highest'))
     # the axon site hook overrides JAX_PLATFORMS at import; honor an explicit
     # CPU request (local validation runs) by forcing it back
     if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
@@ -310,9 +313,23 @@ def inner():
     # 1e-5 to its 1e-8 floor; warm refinement tolerates a much faster
     # schedule (CPU-validated round 5)
     kappa_mu = float(os.environ.get('BENCH_KAPPA_MU', '0.4'))
+    # stale-factor reuse (BENCH_REFRESH=k): the O(n^3) QR runs only every
+    # k-th iteration; in between the previous factorization preconditions
+    # refinement against the freshly assembled K. Benched at k=3 on this
+    # chip: per-iter savings are eaten by the f64 residual matvecs and the
+    # weaker directions cost ~1.5x the iterations — k=1 (factor every
+    # iteration) wins on hardware, so it is the default; k>1 kept for
+    # re-evaluation at larger n where the O(n^3)/O(n^2) gap widens.
+    refresh_k = int(os.environ.get('BENCH_REFRESH', '1'))
+    use_stale = kkt == 'auglu' and factor == 'qr' and refresh_k > 1
     _, direction = make_ip_step(ocp, kkt=kkt, hessian=hess, split=True,
                                 solve_dtype='float64', kappa_mu=kappa_mu,
-                                auglu_factor=factor)
+                                auglu_factor=factor,
+                                auglu_mode='refresh' if use_stale else None)
+    if use_stale:
+        _, direction_stale = make_ip_step(
+            ocp, kkt=kkt, hessian=hess, split=True, solve_dtype='float64',
+            kappa_mu=kappa_mu, auglu_factor=factor, auglu_mode='stale')
 
     def f32_module(jitted):
         # trace + run the f32 derivative modules with x64 scoped OFF so
@@ -333,16 +350,27 @@ def inner():
     vals64_jit = jax.jit(jax.vmap(vals_fn, in_axes=(0, 0, 0, 0)))
     dir_jit = jax.jit(jax.vmap(
         lambda st, dv: direction(st, dv, lbw, ubw, free), in_axes=(0, 0)))
+    if use_stale:
+        dir_jit_stale = jax.jit(jax.vmap(
+            lambda st, dv: direction_stale(st, dv, lbw, ubw, free),
+            in_axes=(0, 0)))
     cast3 = jax.jit(lambda w, y, lam: (w.astype(jnp.float32),
                                        y.astype(jnp.float32),
                                        lam.astype(jnp.float32)))
+    it_counter = {'i': 0}
 
     def one_iter(st):
+        i = it_counter['i']
+        it_counter['i'] += 1
         w32, y32, l32 = cast3(st['w'], st['y'], st['lam'])
         fval, gradf, cE, cI = vals64_jit(st['w'], st['y'], st['lam'], P64)
         JE, JI = jac_jit(w32, P_batch)
         H = hess_jit(w32, y32, l32, P_batch)
-        return dir_jit(st, (fval, gradf, cE, cI, JE, JI, H))
+        dv = (fval, gradf, cE, cI, JE, JI, H)
+        if use_stale and (i % refresh_k != 0) and 'fac' in st:
+            return dir_jit_stale(st, dv)
+        st = {k: v for k, v in st.items() if k != 'fac'}
+        return dir_jit(st, dv)
 
     meta = dict(n_k=ocp.n_k, d=ocp.d, spread=spread, kappa_mu=kappa_mu,
                 u_ref_lo=float(u_refs[0]), u_ref_hi=float(u_refs[-1]),
@@ -393,18 +421,33 @@ def inner():
               file=sys.stderr, flush=True)
     _stage('XLA compile: direction module')
     t_c = time.time()
-    jax.block_until_ready(one_iter(state))
+    state_f = one_iter(state)          # i=0: refresh variant
+    jax.block_until_ready(state_f)
     compile_s['dir'] = time.time() - t_c
     print(f'# direction module ready {compile_s["dir"]:.1f}s',
           file=sys.stderr, flush=True)
+    if use_stale:
+        _stage('XLA compile: stale-direction module')
+        t_c = time.time()
+        jax.block_until_ready(one_iter(state_f))   # i=1: stale variant
+        compile_s['stale'] = time.time() - t_c
+        print(f'# stale-direction module ready {compile_s["stale"]:.1f}s',
+              file=sys.stderr, flush=True)
+    it_counter['i'] = 0                # the timed loop starts on a refresh
 
     dv0 = (tuple(vals64_jit(w0, y0, l0, P64))
            + tuple(jac_jit(w32_0, P_batch))
            + (hess_jit(w32_0, y32_0, l32_0, P_batch),))
-    compile_jobs = (('vals64', vals64_jit, (w0, y0, l0, P64), 1.0),
+    r_share = 1.0 / refresh_k if use_stale else 1.0
+    compile_jobs = [('vals64', vals64_jit, (w0, y0, l0, P64), 1.0),
                     ('jac', jac_jit, (w32_0, P_batch), 1.0),
                     ('hess', hess_jit, (w32_0, y32_0, l32_0, P_batch), 1.0),
-                    ('dir', dir_jit, (state, dv0), 1.0))
+                    ('dir', dir_jit,
+                     ({k: v for k, v in state.items() if k != 'fac'}, dv0),
+                     r_share)]
+    if use_stale:
+        compile_jobs.append(('dir_stale', dir_jit_stale, (state_f, dv0),
+                             1.0 - r_share))
     return _run_loop(one_iter, state, compile_s, compile_jobs, ocp, P64, B,
                      dtype, kkt, hess, tol, verify_tol, meta)
 
