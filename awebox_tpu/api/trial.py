@@ -67,12 +67,20 @@ class Trial:
 
     # ------------------------------------------------------------------
     def optimize(self, final_homotopy_step: str = 'final', verbose: bool = True,
-                 warmstart=None):
+                 warmstart=None, warmstart_schedule: str = 'auto'):
+        """warmstart_schedule (reference optimization.py
+        modify_schedule_for_warmstart): 'resume' starts the homotopy after
+        the step the warmstart source recorded as completed (a fully solved
+        source gets one final refinement solve); 'full' re-walks the whole
+        schedule with V_ref re-aimed at the warm point. 'auto' resumes for
+        saved-payload warmstarts that recorded their final step and re-walks
+        for everything else (Trial chaining keeps sweep semantics)."""
         t0 = time.time()
         V_init = build_initial_guess(self.ocp)
         V_ref = build_reference(self.ocp, V_init)
         self.V_init = V_init
         self.V_ref = V_ref
+        skip_through = None
         if warmstart is not None:
             if isinstance(warmstart, str):
                 # warmstart from a saved solution file, remapping the stored
@@ -83,9 +91,14 @@ class Trial:
                 with open(warmstart, 'rb') as fh:
                     payload = pickle.load(fh)
                 V_init = ws.remap_to_v(payload['remap'], self.ocp)
+                if warmstart_schedule in ('auto', 'resume'):
+                    skip_through = payload.get('final_homotopy_step')
             elif isinstance(warmstart, Trial):
                 from . import warmstart as ws
                 V_init = ws.remap_to_v(ws.solution_payload(warmstart), self.ocp)
+                if warmstart_schedule == 'resume':
+                    skip_through = getattr(warmstart,
+                                           '_final_homotopy_step', None)
             else:
                 V_init = np.asarray(warmstart)
             # the tracking reference follows the warmstart (sweep warmstart
@@ -95,10 +108,12 @@ class Trial:
             V_ref = build_reference(self.ocp, V_init)
             self.V_init = V_init
             self.V_ref = V_ref
+        self._final_homotopy_step = final_homotopy_step
         self.solution = homotopy_mod.solve_homotopy(
             self.ocp, V_init, V_ref, self.lb_nominal, self.ub_nominal,
             final_homotopy_step=final_homotopy_step,
-            solver_cache=self._solver_cache, verbose=verbose)
+            solver_cache=self._solver_cache, verbose=verbose,
+            skip_through=skip_through)
         self.timings['optimize'] = time.time() - t0
         self.timings['peak_rss_mb'] = self._peak_rss_mb()
 
@@ -241,6 +256,11 @@ class Trial:
             'theta_opt': self.theta_opt(),
             'remap': ws.solution_payload(self),
             'duals': {k: np.asarray(st[k]) for k in st},
+            # recorded so a reloaded warmstart can RESUME the homotopy at
+            # the right step instead of re-walking relaxation steps
+            # (reference optimization.py modify_schedule_for_warmstart)
+            'final_homotopy_step': getattr(self, '_final_homotopy_step',
+                                           'final'),
         }
         with open(filename, 'wb') as fh:
             pickle.dump(payload, fh)

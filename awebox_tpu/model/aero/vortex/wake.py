@@ -72,8 +72,36 @@ def kite_wake_quantities(cfg, si, theta0, arch):
     return out
 
 
+def shed_schedule(m_obs, t_obs, t_nodes, n_k, n_rings, T_period):
+    """Ring r of the wake anchors on shooting node (m_obs - r) mod n_k;
+    dt = age of the shed sheet at observation time (wraps by one period)."""
+    rings = jnp.arange(n_rings)
+    shed_idx = jnp.mod(m_obs - rings, n_k)                    # (R,)
+    t_shed = jnp.take(t_nodes, shed_idx)
+    dt = t_obs - t_shed
+    dt = jnp.where(rings > m_obs, dt + T_period, dt)
+    dt = jnp.maximum(dt, 0.)
+    return shed_idx, dt
+
+
+def convected_wake_nodes(tm, tp, uc, shed_idx, dt):
+    """Rigidly convected wake-node positions for one kite: wingtip at the
+    shedding node plus freestream drift over the sheet age."""
+    uc_shed = jnp.take(uc, shed_idx, axis=0)
+    node_m = jnp.take(tm, shed_idx, axis=0) + uc_shed * dt[:, None]
+    node_p = jnp.take(tp, shed_idx, axis=0) + uc_shed * dt[:, None]
+    return node_m, node_p
+
+
+def ring_strengths(gm, shed_idx, strength_mode):
+    if strength_mode == 'averaged':
+        return jnp.full(shed_idx.shape, jnp.mean(gm))
+    return jnp.take(gm, shed_idx)
+
+
 def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
-                       t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period):
+                       t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period,
+                       lifted_nodes=None):
     """Assemble the full wake element set for one observation time.
 
     tips_m/tips_p/gammas/u_convs: per-kite arrays over shooting nodes
@@ -91,12 +119,8 @@ def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
     s_starts, s_lhats, s_strengths = [], [], []
     cyl_rows = []          # far-wake cylinders (per kite, per wingtip)
 
-    rings = jnp.arange(n_rings)
-    shed_idx = jnp.mod(m_obs - rings, n_k)                    # (R,)
-    t_shed = jnp.take(t_nodes, shed_idx)
-    dt = t_obs - t_shed
-    dt = jnp.where(rings > m_obs, dt + T_period, dt)
-    dt = jnp.maximum(dt, 0.)
+    shed_idx, dt = shed_schedule(m_obs, t_obs, t_nodes, n_k, n_rings,
+                                 T_period)
 
     for ki, kite in enumerate(kites):
         tm = tips_m[ki]      # (n_k, 3)
@@ -104,14 +128,14 @@ def build_filament_set(cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
         gm = gammas[ki]      # (n_k,)
         uc = u_convs[ki]     # (n_k, 3)
 
-        uc_shed = jnp.take(uc, shed_idx, axis=0)
-        node_m = jnp.take(tm, shed_idx, axis=0) + uc_shed * dt[:, None]
-        node_p = jnp.take(tp, shed_idx, axis=0) + uc_shed * dt[:, None]
-
-        if strength_mode == 'averaged':
-            g_ring = jnp.full((n_rings,), jnp.mean(gm))
+        if lifted_nodes is not None:
+            # state (diff) representation: wake nodes and ring strengths are
+            # NLP variables (pinned to their convected values by fixing
+            # rows); the Biot-Savart assembly consumes the LIFTED values
+            node_m, node_p, g_ring = lifted_nodes[ki]
         else:
-            g_ring = jnp.take(gm, shed_idx)
+            node_m, node_p = convected_wake_nodes(tm, tp, uc, shed_idx, dt)
+            g_ring = ring_strengths(gm, shed_idx, strength_mode)
 
         # bound filament at the current kite position (ring 0 anchor)
         x_starts.append(node_m[0:1])
@@ -233,6 +257,19 @@ def make_vortex_residual_fn(ocp):
                       for k in kites}
         uif_slices = {k: layout.slices['z']['uif' + arch.node_label(k)]
                       for k in kites}
+    state_repr = cfg.get('vortex_representation', 'alg') == 'state'
+    if state_repr:
+        # diff/state representation (reference diff_repr_dir/fixing.py):
+        # lifted wake-node positions + ring strengths with fixing rows
+        wx_slices = {}
+        z_scale = np.asarray(model.scaling['z'])
+        for k in kites:
+            label = arch.node_label(k)
+            wx_slices[k] = [
+                (layout.slices['z'][f'wxm{label}_{r}'],
+                 layout.slices['z'][f'wxp{label}_{r}'],
+                 layout.slices['z'][f'wg{label}_{r}'])
+                for r in range(wake_nodes)]
 
     def node_quantities(vec, theta0):
         si = model.to_si(vec)
@@ -285,10 +322,41 @@ def make_vortex_residual_fn(ocp):
         # q_obs_all: (n_kites, N, 3) with N = n_k*(1+d)
 
         def one_node(t_obs, m_obs, z_vec, q_obs_nodes):
+            lifted = None
+            rows = []
+            if state_repr:
+                shed_idx, dt_sched = shed_schedule(
+                    t_obs=t_obs, m_obs=m_obs, t_nodes=t_nodes, n_k=n_k,
+                    n_rings=wake_nodes, T_period=T_period)
+                lifted = []
+                for ki, kite in enumerate(kites):
+                    nm, npl, gr = [], [], []
+                    for (slm, slp, slg) in wx_slices[kite]:
+                        nm.append(z_vec[slm.start:slm.stop]
+                                  * z_scale[slm.start:slm.stop])
+                        npl.append(z_vec[slp.start:slp.stop]
+                                   * z_scale[slp.start:slp.stop])
+                        gr.append(z_vec[slg.start] * z_scale[slg.start])
+                    node_m = jnp.stack(nm)
+                    node_p = jnp.stack(npl)
+                    g_ring = jnp.stack(gr)
+                    lifted.append((node_m, node_p, g_ring))
+                    # fixing rows: lifted values == convected values
+                    conv_m, conv_p = convected_wake_nodes(
+                        tips_m[ki], tips_p[ki], u_convs[ki], shed_idx,
+                        dt_sched)
+                    g_tgt = ring_strengths(gammas[ki], shed_idx,
+                                           cfg['vortex_strength_mode'])
+                    sl0 = wx_slices[kite][0][0]
+                    wx_sc = z_scale[sl0.start:sl0.stop]          # (3,)
+                    wg_sc = z_scale[wx_slices[kite][0][2].start]
+                    rows.append(((node_m - conv_m) / wx_sc).reshape(-1))
+                    rows.append(((node_p - conv_p) / wx_sc).reshape(-1))
+                    rows.append((g_ring - g_tgt) / wg_sc)
             finite, semi, cyls = build_filament_set(
                 cfg, theta0, kites, tips_m, tips_p, gammas, u_convs,
-                t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period)
-            rows = []
+                t_nodes, t_obs, m_obs, n_k, wake_nodes, T_period,
+                lifted_nodes=lifted)
             for ki, kite in enumerate(kites):
                 sl = ui_slices[kite]
                 ui = z_vec[sl.start:sl.stop] * ui_scale[kite]
@@ -317,8 +385,75 @@ def make_vortex_residual_fn(ocp):
         return res.reshape(-1)
 
     rows_per_kite = 9 if degree >= 2 else 3
+    if cfg.get('vortex_representation', 'alg') == 'state':
+        # per ring: 3 (wxm fixing) + 3 (wxp fixing) + 1 (wg fixing)
+        rows_per_kite += 7 * wake_nodes
     n_rows = rows_per_kite * len(kites) * n_k * (1 + d)
     return fn, n_rows
+
+
+def fill_state_z_guess(ocp, V):
+    """Initialize the state-representation wake variables of a guess vector:
+    every node's lifted wxm/wxp/wg gets its convected-value target, so the
+    fixing rows start at zero residual (the reference needs
+    diff_repr_dir/initialization.py for the same purpose)."""
+    model = ocp.model
+    cfg = model.cfg
+    arch = model.arch
+    layout = model.layout
+    vs = ocp.vstruct
+    n_k, d = ocp.n_k, ocp.d
+    kites = list(arch.kite_nodes)
+    wake_nodes = cfg['vortex_wake_nodes']
+    theta0 = model.theta0_init
+    V = np.array(V, dtype=float)
+    Vj = jnp.asarray(V)
+
+    def node_quantities(vec):
+        si = model.to_si(vec)
+        q = kite_wake_quantities(cfg, si, theta0, arch)
+        return (jnp.stack([q[k]['tip_m'] for k in kites]),
+                jnp.stack([q[k]['tip_p'] for k in kites]),
+                jnp.stack([q[k]['gamma'] for k in kites]),
+                jnp.stack([q[k]['u_conv'] for k in kites]))
+
+    shooting, coll_vecs = ocp.assemble_nodes_fn(Vj)
+    tips_m, tips_p, gammas, u_convs = jax.vmap(
+        node_quantities, out_axes=1)(shooting)
+    tf_k = np.asarray(ocp.tf_per_k_fn(Vj))
+    h_k = tf_k / n_k
+    t_nodes = np.concatenate([[0.], np.cumsum(h_k)])[:n_k]
+    T_period = float(ocp.time_period_fn(Vj))
+    tau = np.asarray(ocp.coll.tau_root[1:])
+    z_scale = np.asarray(model.scaling['z'])
+
+    def write_node(z_slice_of, t_obs, m_obs):
+        shed_idx, dt = shed_schedule(m_obs, t_obs, jnp.asarray(t_nodes),
+                                     n_k, wake_nodes, T_period)
+        for ki, kite in enumerate(kites):
+            node_m, node_p = convected_wake_nodes(
+                tips_m[ki], tips_p[ki], u_convs[ki], shed_idx, dt)
+            g_ring = ring_strengths(gammas[ki], shed_idx,
+                                    cfg['vortex_strength_mode'])
+            label = arch.node_label(kite)
+            for r in range(wake_nodes):
+                for nm, val in ((f'wxm{label}_{r}', node_m[r]),
+                                (f'wxp{label}_{r}', node_p[r])):
+                    sl = layout.slices['z'][nm]
+                    lo = z_slice_of.start + sl.start
+                    V[lo:lo + 3] = np.asarray(val) / z_scale[sl.start:sl.stop]
+                slg = layout.slices['z'][f'wg{label}_{r}']
+                V[z_slice_of.start + slg.start] = (
+                    float(g_ring[r]) / z_scale[slg.start])
+
+    for k in range(n_k):
+        if vs.u_param in ('zoh', 'ms'):
+            write_node(vs.z_slice(k), float(t_nodes[k]), k)
+        if vs.u_param != 'ms':
+            for j in range(d):
+                write_node(vs.coll_z_slice(k, j),
+                           float(t_nodes[k] + tau[j] * h_k[k]), k)
+    return V
 
 
 def far_wake_truncation_estimate(trial):

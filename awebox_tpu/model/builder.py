@@ -179,6 +179,7 @@ def _build_cfg(options, arch) -> dict:
     cfg['vortex_epsilon_m'] = float(vor['epsilon_m'])
     cfg['vortex_epsilon_r'] = float(vor['epsilon_r'])
     cfg['vortex_degree_lifting'] = int(vor['degree_of_induced_velocity_lifting'])
+    cfg['vortex_representation'] = vor['representation']
     return cfg
 
 

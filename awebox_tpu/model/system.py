@@ -109,6 +109,20 @@ def generate_structure(options, architecture) -> Tuple[VarLayout, List[str]]:
                 # gathers here, not variables)
                 label = architecture.node_label(kite)
                 z += [('uin' + label, 3), ('uif' + label, 3)]
+        if (induction_model == 'vortex'
+                and options['model']['aero']['vortex']['representation']
+                == 'state'):
+            # diff/state representation (reference diff_repr_dir/
+            # structure.py:1-281): wake-node positions and ring strengths
+            # become lifted algebraic unknowns at every time node, pinned by
+            # OCP fixing rows to their convected values (wake.py state
+            # branch). The alg default keeps them closed-form gathers.
+            wake_nodes = int(options['model']['aero']['vortex']['wake_nodes'])
+            for kite in kite_nodes:
+                label = architecture.node_label(kite)
+                for r in range(wake_nodes):
+                    z += [(f'wxm{label}_{r}', 3), (f'wxp{label}_{r}', 3),
+                          (f'wg{label}_{r}', 1)]
         for layer in architecture.layer_nodes:
             for lbl in options['processed']['act_comparison_labels']:
                 target = x if lbl[0] == 'u' else z

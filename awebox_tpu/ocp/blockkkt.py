@@ -586,7 +586,49 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             ok = jnp.all(jnp.isfinite(Li)) & jnp.all(jnp.isfinite(L_R))
             return dict(Li=Li, Xb=Xb, Xbn=Xbn, Xg=Xg, L_R=L_R, ok=ok)
 
-        fac0 = factor(delta_w)
+        # --- inertia correction (round 5): Lanczos smallest-eigenvalue probe
+        # of the UNDAMPED condensed operator M0 = W + Sigma + A^T D^-1 A.
+        # Forsgren-Gill: the KKT inertia is correct iff M is PD; on the
+        # nonconvex 6-DOF phase the blind geometric ladder overshoots
+        # delta_w until every direction is uselessly damped (round-4
+        # stall). The probe costs ~LANCZOS_K frame matvecs and drives
+        # delta directly to ~ -lambda_min, after which chol succeeds with
+        # near-minimal damping; the ladder stays as the safety net.
+        def m0_matvec(v):
+            v_frames = v[frame_V]
+            y_frames = jnp.einsum('kij,kj->ki', Frame, v_frames)
+            return jnp.zeros(n).at[frame_V.reshape(-1)].add(
+                y_frames.reshape(-1))
+
+        LANCZOS_K = 16
+
+        def lanczos_lambda_min(mv, v0, iters=LANCZOS_K):
+            alphas = jnp.zeros(iters)
+            betas = jnp.zeros(iters)
+            q = v0 / jnp.linalg.norm(v0)
+            carry0 = (jnp.zeros_like(v0), q, jnp.asarray(0., v0.dtype),
+                      alphas, betas)
+
+            def body(i, carry):
+                q_prev, q_cur, beta_prev, al, be = carry
+                r = mv(q_cur) - beta_prev * q_prev
+                alpha = q_cur @ r
+                r = r - alpha * q_cur
+                beta = jnp.linalg.norm(r) + 1e-30
+                return (q_cur, r / beta, beta,
+                        al.at[i].set(alpha), be.at[i].set(beta))
+
+            _, _, _, alphas, betas = jax.lax.fori_loop(0, iters, body, carry0)
+            T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+                 + jnp.diag(betas[:-1], -1))
+            return jnp.min(jnp.linalg.eigvalsh(T))
+
+        probe_v0 = jnp.asarray(np.cos(1.618 * np.arange(n)) + 0.3)
+        lam_min = lanczos_lambda_min(m0_matvec, probe_v0)
+        delta_fg = jnp.where(lam_min < 0., -lam_min * 1.5 + 1e-8, 0.)
+        delta0 = jnp.maximum(jnp.asarray(delta_w, lam_min.dtype), delta_fg)
+
+        fac0 = factor(delta0)
 
         def ladder_cond(carry):
             k, delta, fac = carry
@@ -598,7 +640,7 @@ def make_block_kkt(ocp: OCP, n_ladder: int = 7, ladder_factor: float = 100.,
             return k + 1, delta, factor(delta)
 
         _, delta_used, fac = jax.lax.while_loop(
-            ladder_cond, ladder_body, (jnp.asarray(0), jnp.asarray(delta_w), fac0))
+            ladder_cond, ladder_body, (jnp.asarray(0), delta0, fac0))
 
         # --- structured solve -----------------------------------------------
         def block_solve(rhs):

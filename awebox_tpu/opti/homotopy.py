@@ -312,8 +312,16 @@ class HomotopySolution:
 def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
                    final_homotopy_step='final', warmstart=None,
                    solver_cache=None, verbose=True,
-                   use_structured=None) -> HomotopySolution:
-    """Walk the homotopy schedule (optimization.py:273-382)."""
+                   use_structured=None,
+                   skip_through=None) -> HomotopySolution:
+    """Walk the homotopy schedule (optimization.py:273-382).
+
+    skip_through = name of the last homotopy step the warmstart source
+    already completed (reference optimization.py
+    modify_schedule_for_warmstart): the schedule's cost/bound updates up to
+    and including that step are APPLIED but not solved, and solving resumes
+    at the next step. If the source completed the whole schedule, the final
+    step is re-solved once as a refinement."""
     import jax.numpy as jnp
     options = ocp.options
     sol_opts = options['solver']
@@ -394,8 +402,13 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
     steps = schedule['steps']
     if final_homotopy_step in steps:
         steps = steps[:steps.index(final_homotopy_step) + 1]
+    solve_from = 0
+    if skip_through in steps:
+        solve_from = steps.index(skip_through) + 1
+        if solve_from >= len(steps):
+            solve_from = len(steps) - 1   # fully solved source: refine final
 
-    for step_name in steps:
+    for si, step_name in enumerate(steps):
         if not success:
             break
         n_counters = len(schedule['bounds_to_update'][step_name])
@@ -409,6 +422,9 @@ def solve_homotopy(ocp, V_init, V_ref, lb_nominal, ub_nominal,
             # bound updates
             for update in schedule['bounds_to_update'][step_name].get(counter, []):
                 lb, ub = apply_bound_update(ocp, lb, ub, lb_nominal, ub_nominal, update)
+            if si < solve_from:
+                # completed by the warmstart source: updates applied, no solve
+                continue
 
             if step_name == 'initial' or not hippo:
                 mu_init, mu_target, tol = sol_opts['mu_init'], mu_hippo if hippo else mu_target_final, tol_hippo if hippo else tol_final

@@ -396,6 +396,15 @@ def build_initial_guess(ocp) -> np.ndarray:
                                              model, pre))
             V[vs.xdot_slice(k)] = (rp - rm) / (2. * eps)
 
+    # state-representation vortex wake: the lifted wake-node positions and
+    # ring strengths must start ON their convected values — the fixing rows
+    # are hard equalities from the first homotopy step (reference
+    # diff_repr_dir/initialization.py role)
+    if (model.cfg.get('induction_model') == 'vortex'
+            and model.cfg.get('vortex_representation', 'alg') == 'state'):
+        from ..model.aero.vortex.wake import fill_state_z_guess
+        V = fill_state_z_guess(ocp, V)
+
     return V
 
 

@@ -52,7 +52,11 @@ class IPOptions:
     # trivial-dynamics/continuity/periodicity row chains). MA57 would report
     # wrong inertia there; chol cannot, so treat |dw|_inf > dw_cap as a
     # factorization failure and climb the regularization ladder instead of
-    # handing the line search an unusable direction.
+    # handing the line search an unusable direction. The cap is RELATIVE to
+    # the iterate scale (effective cap = dw_cap * max(1, |w|_inf)) so a
+    # legitimately large Newton step from a far-from-solution iterate on a
+    # large-norm problem is not misclassified (advisor r4); tune per trial
+    # via solver options if a model family needs it.
     dw_cap: float = 300.0
     delta_c: float = 1e-7
     armijo_eta: float = 1e-4
@@ -424,6 +428,8 @@ class InteriorPointSolver:
             # KKT solve with primal regularization ladder
             delta_w = 0.0
             ladder_hist = []
+            # iterate-relative step cap (see IPOptions.dw_cap)
+            cap = o.dw_cap * max(1.0, float(np.max(np.abs(np.asarray(w)))))
             if self._block is not None:
                 # the block path self-escalates in-jit; start from the decayed
                 # last delta and let its internal ladder do the work. The
@@ -442,19 +448,23 @@ class InteriorPointSolver:
                         and np.all(np.isfinite(np.asarray(dlam)))
                     dw_norm = float(np.max(np.abs(np.asarray(dw)))) \
                         if dir_finite else np.inf
-                    if ok and dir_finite and dw_norm <= o.dw_cap:
+                    if ok and dir_finite and dw_norm <= cap:
                         break
                     delta_w = min(max(delta_w * 8., o.delta_w_init * 100.),
                                   o.delta_w_max)
-                    if o.verbose and dir_finite and dw_norm > o.dw_cap:
+                    if o.verbose and dir_finite and dw_norm > cap:
                         awelogger.info(f'  [step cap] |dw|={dw_norm:.1e} > '
-                                       f'{o.dw_cap:g}, delta_w -> {delta_w:.1e}')
+                                       f'{cap:g}, delta_w -> {delta_w:.1e}')
                 kdiag = (0., True, 0., 0.)
-                if not (ok and dir_finite):
+                if not (ok and dir_finite and dw_norm <= cap):
+                    # over-cap exhaustion is a factorization failure too
+                    # (dw_cap contract): a chol-ok factorization of a
+                    # near-singular system returns a finite but absurd
+                    # step, and silently using it defeats the guard
                     status = 'regularization_failed'
                     if o.verbose:
                         awelogger.info(f'  [block ladder exhausted] ok={ok} '
-                              f'delta={delta_w:.1e}')
+                              f'|dw|={dw_norm:.1e} delta={delta_w:.1e}')
                     break
             else:
                 ladder_failed = False
@@ -469,11 +479,11 @@ class InteriorPointSolver:
                     dw_norm = float(np.max(np.abs(np.asarray(dw)))) \
                         if dir_finite else np.inf
                     ladder_hist.append((delta_w, bool(ok), bool(dir_finite)))
-                    if bool(ok) and dir_finite and dw_norm <= o.dw_cap:
+                    if bool(ok) and dir_finite and dw_norm <= cap:
                         break
                     if bool(ok) and dir_finite and o.verbose:
                         awelogger.info(f'  [step cap] |dw|={dw_norm:.1e} > '
-                                       f'{o.dw_cap:g}, raising delta_w')
+                                       f'{cap:g}, raising delta_w')
                     if delta_w == 0.0:
                         delta_w = min(max(o.delta_w_init, delta_w_last / 3.), 1e4)
                     else:

@@ -429,6 +429,28 @@ def build_processed_options(options: Dict[str, Any], architecture) -> Dict[str, 
         # degree-2 lifting: near/far wake contributions share ui's scale
         scaling['z']['uin'] = scaling['z']['ui']
         scaling['z']['uif'] = scaling['z']['ui']
+    if (induction_model == 'vortex'
+            and options['model']['aero']['vortex']['representation']
+            == 'state'):
+        # diff/state-representation wake variables (reference
+        # diff_repr_dir/scaling.py:85-107): wake-node positions scale like
+        # the kite position ('q10' position_scaling_method); ring strengths
+        # like the lifting-line circulation estimate
+        # Gamma ~ 0.5 CL u_app c_ref (alg_repr_dir/scaling.py:51-71)
+        geometry = get_geometry(options)
+        CL_est, _ = _estimate_CL_CD(options)
+        u_wind = _get_u_at_altitude(options, _estimate_altitude(options))
+        groundspeed = options['solver']['initialization']['groundspeed']
+        u_app = np.sqrt(u_wind ** 2 + groundspeed ** 2)
+        wg_scale = max(0.5 * abs(CL_est) * u_app * geometry['c_ref'], 1.0)
+        wake_nodes = int(options['model']['aero']['vortex']['wake_nodes'])
+        q_pos_scale = np.asarray(scaling['x']['q'], dtype=float)
+        for kite in architecture.kite_nodes:
+            label = architecture.node_label(kite)
+            for r in range(wake_nodes):
+                scaling['z'][f'wxm{label}_{r}'] = q_pos_scale
+                scaling['z'][f'wxp{label}_{r}'] = q_pos_scale
+                scaling['z'][f'wg{label}_{r}'] = np.array(wg_scale)
     if induction_model == 'actuator':
         act = options['model']['aero']['actuator']
         steady_map = {'quasi-steady': 'q', 'steady': 'q', 'unsteady': 'u'}

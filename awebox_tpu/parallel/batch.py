@@ -529,7 +529,7 @@ def _make_block_ip_step(ocp, delta_w=1e-8, delta_c=1e-8, tau=0.99,
 
 def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
                         axis_name: str = 'scenario', batch_p: bool = False,
-                        tol: float = 0.0, kkt: str = 'auto'):
+                        tol: float = 0.0, kkt: str = 'auto', **ip_kwargs):
     """vmapped + sharded IP solve over a scenario batch.
 
     Returns solve(batched_state, P) jitted; if a Mesh is given, the
@@ -552,7 +552,7 @@ def make_batched_solver(ocp, lb, ub, n_iter: int = 100, mesh=None,
     ubw = jnp.asarray(ubw)
     free = jnp.asarray(free_np)
 
-    step = make_ip_step(ocp, kkt=kkt)
+    step = make_ip_step(ocp, kkt=kkt, **ip_kwargs)
 
     def solve_one(state, p):
         if tol > 0.:

@@ -22,13 +22,19 @@ while the interpreter is blocked inside a native XLA compile RPC
 (judge-verified, round 3); a separate watchdog process always can act.
 
 Compile strategy (the round-3 failure mode was a >10-minute XLA compile on
-the shared axon compile service): the interior-point iteration is split into
-TWO separately-jitted modules (derivatives / KKT-direction, parallel/batch.py
-split=True) chained host-side, and the derivative module defaults to the
-Gauss-Newton Hessian (structured.py) whose traced graph carries no
-third-order AD through the Euler-Lagrange dynamics. Smaller modules compile
-in minutes, land in the persistent cache independently, and a retried run
-resumes from whatever already compiled.
+the shared axon compile service): the interior-point iteration runs as FOUR
+separately-jitted modules chained host-side (vals64 / jac / hess /
+direction) — smaller modules compile in parallel, land in the persistent
+cache independently, and a retried run resumes from whatever already
+compiled. A monolithic fused-scan variant was benched ~10x SLOWER at
+runtime (docs/kkt_design_notes.md round-5 table), so split is also the
+performance choice, not just the compile-robustness one.
+
+Numerical strategy (round 5, docs/kkt_design_notes.md): f64 state and
+residual values, f32 Jacobian/Hessian, and an f32-factored (QR by default)
+row-equilibrated AUGMENTED KKT system with refinement — the f32-viable
+replacement for the emulated-f64 condensed path that could never fit the
+loop budget.
 """
 import json
 import os
@@ -235,8 +241,18 @@ def inner():
         # the documented next step
         spread = float(os.environ.get('BENCH_SPREAD', '0.05'))
         u_refs = 10.0 * (1.0 + spread * np.linspace(-1., 1., B))
+        # per-lane continuation ramp (the dual_kites_power_curve span,
+        # reference examples/dual_kites_power_curve.py:48-53, needs u_ref
+        # excursions ~+-25% — beyond the direct basin of the anchor): each
+        # lane's u_ref walks from the anchor's 10 m/s to its target over
+        # the first BENCH_RAMP_ITERS iterations, so every iterate stays in
+        # the convergence basin of its current parameters. 0 disables
+        # (lanes start AT their targets — fine within +-5%).
+        ramp_iters = int(os.environ.get(
+            'BENCH_RAMP_ITERS', '20' if spread > 0.06 else '0'))
+        u_start = np.full(B, 10.0) if ramp_iters else u_refs
         p_list = []
-        for u in u_refs:
+        for u in u_start:
             theta0 = _copy.deepcopy(jax.tree_util.tree_map(
                 np.asarray, base_P['theta0']))
             theta0['wind']['u_ref'] = np.asarray(float(u))
@@ -374,7 +390,18 @@ def inner():
 
     meta = dict(n_k=ocp.n_k, d=ocp.d, spread=spread, kappa_mu=kappa_mu,
                 u_ref_lo=float(u_refs[0]), u_ref_hi=float(u_refs[-1]),
-                t_start=t_start)
+                t_start=t_start, ramp_iters=ramp_iters)
+    if ramp_iters:
+        u_start_j = jnp.asarray(u_start)
+        u_target_j = jnp.asarray(u_refs)
+
+        def set_ramp(s):
+            """Walk u_ref toward the targets; s is scalar or per-lane (B,)."""
+            u_now = u_start_j + (u_target_j - u_start_j) * jnp.asarray(s)
+            P64['theta0']['wind']['u_ref'] = jax.device_put(u_now, accel)
+            P_batch['theta0']['wind']['u_ref'] = jax.device_put(
+                u_now.astype(jnp.float32), accel)
+        meta['set_ramp'] = set_ramp
     # the f64 verification module compiles CONCURRENTLY with the solve
     # modules so it cannot blow the deadline after the loop finishes
     # (round-5 lesson: a post-loop 40 s eq-module compile ate the run)
@@ -492,12 +519,61 @@ def _run_loop(step, state0, compile_s, compile_jobs, ocp, P64, B, dtype,
     n_iters = 0
     latched = np.zeros(B, dtype=bool)
     stale = 0
+    ramp_iters = int(meta.get('ramp_iters', 0))
+    set_ramp = meta.get('set_ramp')
+    # PER-LANE adaptive continuation (the dual_kites_power_curve span needs
+    # it): a lane's parameter walk advances only while its KKT error sits
+    # under the gate, so hard lanes (low wind: the optimum moves ~2x in
+    # power) take smaller steps instead of being dragged out of their
+    # basin by a global schedule.
+    ramp_gate = float(os.environ.get('BENCH_RAMP_GATE', '5e-3'))
+    blowup = float(os.environ.get('BENCH_RAMP_BLOWUP', '1e2'))
+    ds_lane = np.full(B, burst / ramp_iters if ramp_iters else 1.0)
+    s_lane = np.zeros(B) if ramp_iters else np.ones(B)
+    anchor0 = {k: np.asarray(v) for k, v in state0.items()}
     t0 = time.time()
     while n_iters < N_ITER_CAP:
+        if set_ramp is not None and ramp_iters and s_lane.min() < 1.0:
+            err_now = np.asarray(state['err'])
+            if n_iters:
+                # a diverged lane cannot recover under the fixed-step
+                # iteration: reset it to the anchor and re-ramp at half rate
+                bad = (~np.isfinite(err_now)) | (err_now > blowup)
+                bad &= s_lane < 1.0
+                if bad.any():
+                    import jax as _jx
+                    state_np = {k: np.array(v) for k, v in state.items()}
+                    for k in state_np:
+                        state_np[k][bad] = anchor0[k][bad]
+                    state = {k: _jx.device_put(jnp_arr)
+                             for k, jnp_arr in state_np.items()}
+                    s_lane[bad] = 0.0
+                    ds_lane[bad] = np.maximum(ds_lane[bad] / 2.,
+                                              0.2 / ramp_iters)
+                    print(f'# ramp reset: {int(bad.sum())} lanes at iter '
+                          f'{n_iters}', file=sys.stderr, flush=True)
+                    err_now = np.asarray(state['err'])
+                advance = (err_now <= ramp_gate)
+            else:
+                advance = np.ones(B, dtype=bool)
+            s_lane = np.minimum(1.0, s_lane + ds_lane * advance)
+            set_ramp(s_lane)
         for _ in range(burst):
             state = step(state)
         n_iters += burst
         err = np.asarray(state['err'])
+        if s_lane.min() < 1.0:
+            # lanes still ramping measure err against interim parameters;
+            # latch only the finished ones
+            done = s_lane >= 1.0
+            latched |= (err <= tol) & done
+            elapsed = time.time() - t0
+            if elapsed + burst * (elapsed / n_iters) > loop_budget:
+                print(f'# loop budget reached during ramp at {n_iters} '
+                      f'(min s = {s_lane.min():.2f})',
+                      file=sys.stderr, flush=True)
+                break
+            continue
         newly = (err <= tol) & ~latched
         latched |= err <= tol
         stale = 0 if newly.any() else stale + 1

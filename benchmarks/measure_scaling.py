@@ -2,7 +2,7 @@
 """Scaling evidence for BASELINE.md: solves/s at 1 device vs the full mesh,
 plus a single-chip batch-size sweep when a TPU is reachable.
 
-Writes benchmarks/scaling_r04.json:
+Writes benchmarks/scaling_r05.json:
   {"virtual_cpu": {"devices", "wall_1", "wall_n", "speedup"},
    "batch_sweep": [{"B", "per_iter_ms", "lane_iters_per_s"}, ...],
    "platform": ...}
@@ -29,7 +29,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
-OUT = os.path.join(HERE, 'scaling_r04.json')
+OUT = os.path.join(HERE, 'scaling_r05.json')
 
 
 def virtual_cpu_curve():
@@ -80,9 +80,8 @@ def tpu_batch_sweep():
     single-chip axis of the BASELINE scaling ask)."""
     import subprocess
     rows = []
-    for B in (32, 128, 256):
-        env = dict(os.environ, BENCH_B=str(B), BENCH_N_ITER='30',
-                   BENCH_DEADLINE_S='560')
+    for B in (32, 64, 128):
+        env = dict(os.environ, BENCH_B=str(B), BENCH_DEADLINE_S='560')
         t0 = time.time()
         out = subprocess.run([sys.executable, os.path.join(ROOT, 'bench.py')],
                              env=env, capture_output=True, text=True,
@@ -92,13 +91,12 @@ def tpu_batch_sweep():
             rows.append({'B': B, 'error': 'no output'})
             continue
         rec = json.loads(line[-1])
-        unit = rec.get('unit', '')
-        per_iter_ms = None
-        for tok in unit.split(','):
-            tok = tok.strip()
-            if tok.endswith('ms/iter'):
-                per_iter_ms = float(tok.split()[0])
-        row = {'B': B, 'value': rec.get('value'), 'unit': unit,
+        wl = rec.get('workload', {})
+        per_iter_ms = wl.get('ms_per_iter')
+        row = {'B': B, 'solves_per_s': rec.get('value'),
+               'n_converged': wl.get('n_converged'),
+               'n_iters': wl.get('n_iters'),
+               'unit': rec.get('unit', ''),
                'wall_s': round(time.time() - t0, 1)}
         if per_iter_ms:
             row['per_iter_ms'] = per_iter_ms
@@ -109,8 +107,13 @@ def tpu_batch_sweep():
 
 def main():
     import jax
+    # the axon site hook overrides JAX_PLATFORMS at import; honor an
+    # explicit CPU request (virtual-device curve) by forcing it back —
+    # otherwise the "cpu" run silently lands on the TPU branch
+    if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     platform = jax.devices()[0].platform
-    report = {'platform': platform}
+    report = {'platform_' + platform: True}
     if platform == 'cpu':
         report['virtual_cpu'] = virtual_cpu_curve()
     else:

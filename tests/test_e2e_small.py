@@ -90,6 +90,7 @@ def test_csv_export(solved_trial, tmp_path):
     assert 'x_q10_2' in rows[0]
 
 
+@pytest.mark.heavy
 def test_save_reload_roundtrip(solved_trial, tmp_path):
     """save -> Trial.load -> plot-capable trial with identical numbers
     (reference trial.py:62-92 + test/int/test_serialization.py:16-50)."""
@@ -108,6 +109,7 @@ def test_save_reload_roundtrip(solved_trial, tmp_path):
     assert {r[0] for r in results} >= {'solve_succeeded', 'invariant_c'}
 
 
+@pytest.mark.heavy
 def test_batched_sweep_matches_serial(solved_trial):
     """Batched (vmapped) sweep continuation: scenario with the anchor's own
     wind speed must reproduce the serial solution; a second scenario with
@@ -136,6 +138,7 @@ def test_batched_sweep_matches_serial(solved_trial):
     assert sweep.sweep_dict[labels[1]]['eq_residual'] < 1e-5
 
 
+@pytest.mark.heavy
 def test_cross_discretization_consistency(solved_trial):
     """Re-simulate the collocation solution with independent integrators
     (reference test/reg/test_discretization.py:22-90, adapted to the coarse
@@ -203,6 +206,7 @@ def test_cross_discretization_consistency(solved_trial):
     assert max(err_cross) < 5e-2, err_cross
 
 
+@pytest.mark.heavy
 def test_multiple_shooting_consistency(solved_trial):
     """The multiple-shooting transcription must accept the collocation
     solution: mapping (x, u, xdot, z, theta, phi) onto the MS decision vector
@@ -280,3 +284,24 @@ def test_warmstart_remap_dimensions(solved_trial):
     T_src = float(solved_trial.ocp.time_period_fn(solved_trial.solution.V_opt))
     T_dst = float(target.ocp.time_period_fn(V))
     assert abs(T_src - T_dst) < 1e-9
+
+
+@pytest.mark.heavy
+def test_warmstart_resume_from_saved_payload(solved_trial, tmp_path):
+    """File-payload warmstarts RESUME the homotopy at the recorded step
+    (reference optimization.py modify_schedule_for_warmstart): a fully
+    solved payload gets exactly one 'final' refinement solve instead of
+    re-walking the relaxation steps."""
+    fname = str(tmp_path / 'resume.pkl')
+    solved_trial.save(fname)
+    saved_solution = solved_trial.solution
+    saved_vinit = solved_trial.V_init
+    try:
+        solved_trial.optimize(verbose=False, warmstart=fname)
+        results = solved_trial.solution.step_results
+        assert set(results) == {'final_0'}, set(results)
+        assert solved_trial.solve_succeeded
+        assert results['final_0']['kkt_error'] < 1e-6
+    finally:
+        solved_trial.solution = saved_solution
+        solved_trial.V_init = saved_vinit

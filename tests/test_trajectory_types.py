@@ -150,6 +150,7 @@ def test_modular_initial_guess_structure(solved_trial):  # noqa: F811
                                rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.heavy
 def test_nominal_landing_solve(solved_trial):  # noqa: F811
     """End-to-end landing homotopy: initial -> fictitious -> landing ->
     final on the tiny grid. The landing steps currently reach loose

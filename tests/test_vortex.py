@@ -250,3 +250,104 @@ def test_vortex_e2e_solve():
     assert len(figs) == 3
     import matplotlib.pyplot as plt
     plt.close('all')
+
+
+@pytest.mark.slow
+def test_vortex_state_representation_structure_and_fixing():
+    """State (diff) representation (reference diff_repr_dir/): wake-node
+    positions and ring strengths are lifted z-variables with fixing rows.
+    At the initial guess (fill_state_z_guess) every fixing row must vanish
+    and the ui rows must match the alg representation exactly — the lifted
+    wake IS the convected wake there."""
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+    from awebox_tpu.opti.homotopy import build_p_fix
+
+    options = make_vortex_options()
+    options['model.aero.vortex.representation'] = 'state'
+    arch = Architecture({1: 0})
+    built = options.build(arch)
+    model = make_model(built, arch)
+    ocp = build_ocp(model, built)
+
+    names = model.layout.names('z')
+    wake_nodes = 3
+    for r in range(wake_nodes):
+        assert f'wxm10_{r}' in names
+        assert f'wxp10_{r}' in names
+        assert f'wg10_{r}' in names
+
+    sl = ocp.eq_slices['vortex_induction']
+    # 3 ui rows + 7 fixing rows per ring per node
+    expected = (3 + 7 * wake_nodes) * ocp.n_k * (1 + ocp.d)
+    assert sl.stop - sl.start == expected
+
+    V = build_initial_guess(ocp)
+    P = build_p_fix(ocp, build_reference(ocp, V))
+    res = np.asarray(ocp.eq_fn(jnp.asarray(V), P))[sl]
+    assert np.all(np.isfinite(res))
+    # the guess satisfies ALL vortex rows: fixing rows by construction
+    # (fill_state_z_guess) and ui rows because ui = 0 at iota = 1
+    assert np.max(np.abs(res)) < 1e-6, np.max(np.abs(res))
+
+
+@pytest.mark.slow
+def test_vortex_state_matches_alg_induction():
+    """With the lifted wake pinned at its convected values, the state
+    representation's Biot-Savart targets equal the alg representation's:
+    evaluate both OCPs' vortex rows at iota=0 on the same guess and compare
+    the ui residual rows."""
+    from awebox_tpu.opti.initialization import build_initial_guess, \
+        build_reference
+    from awebox_tpu.opti.homotopy import build_p_fix
+
+    arch = Architecture({1: 0})
+
+    def rows(representation):
+        options = make_vortex_options()
+        options['model.aero.vortex.representation'] = representation
+        built = options.build(arch)
+        model = make_model(built, arch)
+        ocp = build_ocp(model, built)
+        V = build_initial_guess(ocp)
+        V[ocp.vstruct.phi_slice.start + 2] = 0.   # iota = 0
+        P = build_p_fix(ocp, build_reference(ocp, V))
+        sl = ocp.eq_slices['vortex_induction']
+        res = np.asarray(ocp.eq_fn(jnp.asarray(V), P))[sl]
+        n_nodes = ocp.n_k * (1 + ocp.d)
+        return res.reshape(n_nodes, -1)
+
+    res_alg = rows('alg')
+    res_state = rows('state')
+    # state layout per node: [fixing(7*R) rows..., ui rows(3)] per kite —
+    # the ui rows are the LAST 3 of each node block
+    ui_state = res_state[:, -3:]
+    ui_alg = res_alg.reshape(ui_state.shape[0], 3)
+    np.testing.assert_allclose(ui_state, ui_alg, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_vortex_state_e2e_solve():
+    """The state (diff) representation drives a full homotopy solve
+    end-to-end (reference diff_repr_dir counterpart of
+    test_vortex_e2e_solve); at the optimum the fixing rows hold, so the
+    lifted wake equals the convected wake."""
+    from awebox_tpu.api.trial import Trial
+
+    options = make_vortex_options()
+    options['nlp.n_k'] = 3
+    options['nlp.collocation.d'] = 2
+    options['model.aero.vortex.wake_nodes'] = 2
+    options['model.aero.vortex.representation'] = 'state'
+    trial = Trial(options, 'vortex_state_e2e').build()
+    trial.optimize(verbose=False)
+    assert trial.solve_succeeded, trial.solution.step_results
+    go = trial.global_outputs()
+    assert np.isfinite(go['avg_power_watts'])
+    assert 10. < go['time_period'] < 120.
+    V = np.asarray(trial.solution.V_opt)
+    # the lifted wake-node positions sit on the convected positions
+    sl = trial.ocp.eq_slices['vortex_induction']
+    res = np.asarray(trial.ocp.eq_fn(jnp.asarray(V), trial.solution.P))[sl]
+    assert np.max(np.abs(res)) < 1e-5
