@@ -53,7 +53,14 @@ DEADLINE_S = int(os.environ.get('BENCH_DEADLINE_S', '450'))
 B = int(os.environ.get('BENCH_B', '128'))
 N_ITER_CAP = int(os.environ.get('BENCH_N_ITER', '200'))
 ANCHOR = os.path.join(HERE, 'tests', 'artifacts', 'bench_anchor_nk4_d3.npz')
-PEAK_FLOPS = 197e12    # TPU v5e bf16 peak; f32 runs below this — MFU is a floor
+# MFU denominator per device kind (bf16 peak; f32-'highest' runs far below
+# either, so MFU is a conservative floor). The actual device kind is read at
+# runtime and recorded in the workload fields so the denominator is auditable
+# (VERDICT r4 Weak 8: the hardcoded v5e value was unverified).
+PEAK_FLOPS_BY_KIND = {'v5 lite': 197e12, 'v5litepod': 197e12,
+                      'v5e': 197e12, 'v5p': 459e12, 'v4': 275e12,
+                      'v6 lite': 918e12, 'v6e': 918e12}
+PEAK_FLOPS_DEFAULT = 197e12
 
 
 def _emit(payload):
@@ -158,17 +165,9 @@ def inner():
     if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
 
-    # The solve runs in f64 on every backend (emulated on TPU): the condensed
-    # KKT matrix carries cond ~ 1e13 (delta_ce=1e-8 equality condensation x
-    # near-dependent trivial-dynamics/continuity/periodicity row chains,
-    # sigma_min(A_eq) ~ 3.5e-4 measured on the anchor) — beyond f32
-    # Cholesky's ~1e7 reach. The all-f32 path spins the regularization ladder
-    # with ok=False every iteration and can never converge (round-4
-    # root-cause; this also masked as round 3's "kernel fault" at B=256,
-    # which was an HBM OOM at compile). f64-emulated matmuls still ride the
-    # MXU; convergence semantics match the green CPU sweep test exactly.
     accel = jax.devices()[0]
     on_tpu = accel.platform != 'cpu'
+    device_kind = getattr(accel, 'device_kind', accel.platform)
     jax.config.update('jax_enable_x64', True)
     # mixed precision: derivative modules trace under a scoped x64-off
     # context (pure f32 — the f64-emulation penalty on this backend is
@@ -407,6 +406,7 @@ def inner():
     # (round-5 lesson: a post-loop 40 s eq-module compile ate the run)
     eq_batched = jax.jit(jax.vmap(ocp.eq_fn, in_axes=(0, 0)))
     meta['eq_batched'] = eq_batched
+    meta['device_kind'] = device_kind
     from threading import Thread
     eq_warm = Thread(target=lambda: jax.block_until_ready(
         eq_batched(state['w'], P64)))
@@ -614,7 +614,10 @@ def _run_loop(step, state0, compile_s, compile_jobs, ocp, P64, B, dtype,
 
     solves_per_s = n_conv / elapsed if elapsed > 0 else 0.0
     achieved_flops = flops_per_iter / per_iter if per_iter > 0 else 0.0
-    mfu = achieved_flops / PEAK_FLOPS
+    kind = str(meta.get('device_kind', '')).lower()
+    peak = next((v for k, v in PEAK_FLOPS_BY_KIND.items() if k in kind),
+                PEAK_FLOPS_DEFAULT)
+    mfu = achieved_flops / peak
 
     # converged-scenario powers for sanity (watts)
     powers = []
@@ -646,6 +649,8 @@ def _run_loop(step, state0, compile_s, compile_jobs, ocp, P64, B, dtype,
                          spread=meta['spread'], kkt=kkt, hess=hess,
                          dtype=dtype, tol=tol, verify_tol=verify_tol,
                          kappa_mu=meta['kappa_mu'], n_iters=n_iters,
+                         device_kind=str(meta.get('device_kind', '')),
+                         peak_flops=peak,
                          ms_per_iter=round(ms_iter, 1),
                          n_converged=n_conv),
     })

@@ -60,12 +60,35 @@ def main():
     from awebox_tpu.api.trial import Trial
 
     t0 = time.time()
+    coarse_ckpt = os.path.join(ROOT, 'tests', 'artifacts',
+                               'flagship_coarse_nk20_d3.pkl')
     coarse = Trial(make_options(n_k=20, d=3, kite_dof=6), 'flagship_coarse')
     coarse.build()
-    coarse.optimize(verbose=True)
+    if os.path.exists(coarse_ckpt):
+        # resume: reuse a previously solved coarse stage (Trial warmstart
+        # file semantics resume the homotopy at its recorded final step)
+        coarse.optimize(verbose=True, warmstart=coarse_ckpt)
+    else:
+        coarse.optimize(verbose=True)
     coarse_wall = time.time() - t0
     assert coarse.solve_succeeded, coarse.solution.step_results
-    print(f'# coarse n_k=20 d=3 done in {coarse_wall:.0f}s', flush=True)
+    coarse.save(coarse_ckpt)
+    # checkpoint the coarse timing immediately: a budget-killed fine stage
+    # must not lose the coarse evidence
+    go_c = coarse.global_outputs()
+    coarse_payload = {
+        'n_k': 20, 'd': 3, 'kite_dof': 6,
+        'avg_power_kw': float(go_c['avg_power_watts'] / 1e3),
+        'winding_period_s': float(go_c['time_period']),
+        'coarse_wall_s': round(coarse_wall, 1),
+        'platform': jax.devices()[0].platform,
+        'coarse_steps': step_summary(coarse),
+    }
+    with open(os.path.join(ROOT, 'tests', 'artifacts',
+                           'flagship_coarse_nk20_d3_timing.json'), 'w') as fh:
+        json.dump(coarse_payload, fh, indent=1)
+    print(f'# coarse n_k=20 d=3 done in {coarse_wall:.0f}s '
+          f'({go_c["avg_power_watts"]/1e3:.2f} kW)', flush=True)
 
     t1 = time.time()
     trial = Trial(make_options(n_k=n_k, d=d, kite_dof=6), 'flagship')

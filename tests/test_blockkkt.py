@@ -204,3 +204,32 @@ def test_block_kkt_6dof_augmented_residual():
     # 1e-7 relative here; dual equation: exact by construction of dnu
     assert np.linalg.norm(res1) / scale1 < 1e-5, np.linalg.norm(res1) / scale1
     assert np.linalg.norm(res2) / scale2 < 1e-10, np.linalg.norm(res2) / scale2
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_block_kkt_6dof_initial_step_no_stall():
+    """Round-4 stall scenario: on the nonconvex 6-DOF initial homotopy step
+    the block path's chol-only inertia test used to force delta_w so high
+    that the solve trapped in a watchdog loop while dense converged. With
+    the Lanczos/Forsgren-Gill probe (blockkkt.kkt_solve round 5) the block
+    path must now complete the same step in <= 1.5x the dense path's
+    iterations."""
+    from awebox_tpu.opti import homotopy as hm
+
+    def solve_initial(linear_solver):
+        trial = _build(n_k=6, d=3, kite_dof=6)
+        trial.options['solver']['linear_solver'] = linear_solver
+        ocp = trial.ocp
+        V0 = build_initial_guess(ocp)
+        V_ref = build_reference(ocp, V0)
+        sol = hm.solve_homotopy(ocp, V0, V_ref, trial.lb_nominal,
+                                trial.ub_nominal,
+                                final_homotopy_step='initial',
+                                verbose=False)
+        assert sol.success, sol.step_results
+        return sum(r['iterations'] for r in sol.step_results.values())
+
+    it_dense = solve_initial('dense')
+    it_block = solve_initial('block')
+    assert it_block <= 1.5 * it_dense + 5, (it_block, it_dense)
