@@ -135,16 +135,19 @@ def _compare(trial, n_k_expected=None):
                                rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_block_kkt_matches_dense():
     _compare(_build(n_k=3, d=2, phase_fix='simple'))
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_block_kkt_matches_dense_single_reelout():
     _compare(_build(n_k=4, d=2, phase_fix='single_reelout'))
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_block_kkt_6dof_augmented_residual():
     """6-DOF coverage: DCM/omega/surface states change the keep_rows set,
     the beta cost enters the node scalar, and the local dimensions grow.

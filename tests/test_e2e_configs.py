@@ -129,6 +129,7 @@ def test_e2e_single_homotopy_method():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_e2e_integral_outputs():
     """integral_outputs=True: no energy state; avg power from the
     collocation quadrature of the power output (collocation.py:349)."""

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope='module')
+# heavy-tier fixture: MPC stack compile costs minutes on a 2-core host
 def closed_loop(solved_trial):  # noqa: F811
     from awebox_tpu.api.sim import Simulation
     # sampling time well below the period: one zoh control per quarter
@@ -27,6 +28,7 @@ def closed_loop(solved_trial):  # noqa: F811
     return sim
 
 
+@pytest.mark.heavy
 def test_closed_loop_tracks_orbit(closed_loop):
     errs = closed_loop.tracking_error()
     assert len(errs) >= 4
@@ -44,6 +46,7 @@ def test_closed_loop_tracks_orbit(closed_loop):
     assert np.isfinite(X).all()
 
 
+@pytest.mark.heavy
 def test_mpc_step_latency_recorded(closed_loop):
     stats = closed_loop.mpc.stats
     assert len(stats) == 4
@@ -54,6 +57,7 @@ def test_mpc_step_latency_recorded(closed_loop):
     assert min(s['kkt_error'] for s in stats) < 1e-2
 
 
+@pytest.mark.heavy
 def test_latency_report(closed_loop):
     """Latency vs the real-time budget ts is reported explicitly
     (BASELINE.md MPC target; reference pmpc.py:208-217)."""
@@ -67,6 +71,7 @@ def test_latency_report(closed_loop):
     assert len(pos) >= 4 and np.isfinite(pos).all()
 
 
+@pytest.mark.heavy
 def test_economic_mpc_step(solved_trial):  # noqa: F811
     """Economic MPC mode (reference pmpc.py:141): the power objective stays
     live over the horizon. One feedback step must converge to the relaxed
@@ -106,6 +111,7 @@ def test_reference_grade_closed_loop_tracks_si():
     assert out['latency_over_ts'] > 0.
 
 
+@pytest.mark.heavy
 def test_open_loop_simulation(solved_trial):  # noqa: F811
     from awebox_tpu.api.sim import Simulation
     sim = Simulation(solved_trial, 'open_loop')

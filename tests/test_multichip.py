@@ -13,6 +13,7 @@ pytestmark = pytest.mark.slow  # compile-heavy tier; core suite runs without -m 
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     n = len(jax.devices())
@@ -21,6 +22,7 @@ def test_dryrun_multichip_8():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_fleet_sharded_matches_single_device():
     """The fleet driver (parallel/fleet.py) must produce identical iterates
     on a 1-device mesh and on the full 8-virtual-device mesh — pure data
@@ -64,6 +66,7 @@ def test_fleet_sharded_matches_single_device():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_measure_scaling_8_virtual_devices():
     """`fleet.measure_scaling` (BASELINE.md scaling anchor) must run on the
     8-virtual-device CPU mesh and report a sane speedup: sharding 8 scenarios

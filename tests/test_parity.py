@@ -77,6 +77,7 @@ ANCHOR_NPZ = os.path.join(os.path.dirname(__file__), 'artifacts',
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_solver_drift_against_committed_anchor():
     """Controls-level regression guard (VERDICT r3 item 5): a FRESH full
     homotopy solve of the committed anchor configuration must reproduce the

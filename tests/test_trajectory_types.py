@@ -33,6 +33,7 @@ def _options(traj_type, source_trial):
     return options
 
 
+@pytest.mark.heavy
 def test_landing_structure(solved_trial):  # noqa: F811
     trial = Trial(_options('nominal_landing', solved_trial),
                   'landing').build()
@@ -68,6 +69,7 @@ def test_landing_structure(solved_trial):  # noqa: F811
     assert np.allclose(rineq1[ocp.ineq_slices['terminal_position']], 0.)
 
 
+@pytest.mark.heavy
 def test_transition_structure(solved_trial):  # noqa: F811
     trial = Trial(_options('transition', solved_trial), 'transition').build()
     ocp = trial.ocp
@@ -89,6 +91,7 @@ def test_transition_structure(solved_trial):  # noqa: F811
     assert np.max(np.abs(r_a - r_b)) > 1e-8
 
 
+@pytest.mark.heavy
 def test_launch_structure(solved_trial):  # noqa: F811
     trial = Trial(_options('launch', solved_trial), 'launch').build()
     ocp = trial.ocp
@@ -97,6 +100,7 @@ def test_launch_structure(solved_trial):  # noqa: F811
     assert 'param_initial' not in ocp.eq_slices
 
 
+@pytest.mark.heavy
 def test_landing_schedule_branches(solved_trial):  # noqa: F811
     from awebox_tpu.opti.homotopy import define_schedule
     trial = Trial(_options('nominal_landing', solved_trial),
@@ -109,6 +113,7 @@ def test_landing_schedule_branches(solved_trial):  # noqa: F811
     assert {'nu', 'upsilon'} <= schedule['used_phis']
 
 
+@pytest.mark.heavy
 def test_modular_initial_guess_structure(solved_trial):  # noqa: F811
     """Modular primitive-scheduled initializer (reference initialization_dir/
     modular.py role, opti/modular_init.py): for a landing problem the guess

@@ -219,6 +219,7 @@ def test_vortex_degree2_lifting():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_vortex_e2e_solve():
     """A vortex-induction OCP driven through the full homotopy (initial ->
     fictitious -> induction -> power -> final), dense KKT path (the wake
@@ -292,6 +293,7 @@ def test_vortex_state_representation_structure_and_fixing():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_vortex_state_matches_alg_induction():
     """With the lifted wake pinned at its convected values, the state
     representation's Biot-Savart targets equal the alg representation's:
