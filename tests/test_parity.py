@@ -117,3 +117,23 @@ def test_solver_drift_against_committed_anchor():
         / float(anchor['time_period'])
     assert dp < 1e-3, f'power drifted {dp:.2e}'
     assert dT < 1e-4, f'period drifted {dT:.2e}'
+
+
+def test_flagship_artifact_in_reference_band():
+    """The committed flagship timing artifact (n_k=40 d=4 6-DOF,
+    benchmarks/flagship_walltime.py) must stay inside the reference
+    example's expectation band: ~4.7 kW +-20% average power and a winding
+    period near 35 s (reference examples/ampyx_ap2_trajectory.py:125-129,
+    test tolerance test/reg/test_examples.py:30-44)."""
+    import json
+    path = os.path.join(os.path.dirname(__file__), 'artifacts',
+                        'flagship_nk40_d4_timing.json')
+    with open(path) as fh:
+        art = json.load(fh)
+    assert art['n_k'] == 40 and art['d'] == 4 and art['kite_dof'] == 6
+    assert 4.7 * 0.8 <= art['avg_power_kw'] <= 4.7 * 1.2, art['avg_power_kw']
+    assert 25. <= art['winding_period_s'] <= 45., art['winding_period_s']
+    assert len(art['controls']) == art['n_k']
+    steps = art['homotopy_steps']
+    assert 'final_0' in steps
+    assert steps['final_0']['kkt_error'] < 1e-6
