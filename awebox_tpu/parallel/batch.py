@@ -27,7 +27,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                  n_ladder: int = 7, ladder_factor: float = 100.,
                  kkt: str = 'auto', hessian: str = 'exact',
                  split: bool = False, solve_dtype=None,
-                 auglu_factor: str = 'qr', auglu_mode: Optional[str] = None):
+                 auglu_factor: str = 'qr', auglu_mode: Optional[str] = None,
+                 step_cap: Optional[float] = None):
     """Pure-jax single interior-point iteration for one scenario.
 
     state = dict(w, s, y, lam, zl, zu, mu); p = NLP parameter pytree
@@ -197,7 +198,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
                 err_p = jnp.maximum(err_p, jnp.max(jnp.abs(cI + s)))
             out = _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok,
                                  err_d, lbw, ubw, n_ineq, tau, kappa_mu,
-                                 mu_min, err_kkt=jnp.maximum(err_d, err_p))
+                                 mu_min, err_kkt=jnp.maximum(err_d, err_p),
+                                 step_cap=step_cap)
             if auglu_mode == 'refresh':
                 out['fac'] = fac_out
             elif auglu_mode == 'stale':
@@ -257,7 +259,8 @@ def make_ip_step(ocp, derivs_fn=None, delta_w: float = 1e-8,
             err_p = jnp.maximum(err_p, jnp.max(jnp.abs(cI + s)))
         return _advance_state(state, (dw, dy, dlam, ds, dzl, dzu), ok, err_d,
                               lbw, ubw, n_ineq, tau, kappa_mu, mu_min,
-                              err_kkt=jnp.maximum(err_d, err_p))
+                              err_kkt=jnp.maximum(err_d, err_p),
+                              step_cap=step_cap)
 
     if split:
         return derivs_fn, direction
@@ -444,12 +447,20 @@ def _auglu_solve(W0, A, D, r1, r2, free, n, delta_w, delta_ce, n_ladder,
 
 
 def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
-                   tau, kappa_mu, mu_min, err_kkt=None):
+                   tau, kappa_mu, mu_min, err_kkt=None, step_cap=None):
     """Fraction-to-boundary step + dual safeguards + adaptive-mu, shared by
     the dense and block KKT paths. ``err_kkt`` is the KKT error of the
     *incoming* iterate (max of primal and barrier-dual infeasibility); it is
     stored on the outgoing state so a while_loop driver can stop when the
-    fleet has converged (lagging by one cheap iteration)."""
+    fleet has converged (lagging by one cheap iteration).
+
+    ``step_cap`` (scaled units, optional): trust-region-style truncation
+    |alpha dw|_inf <= step_cap. The fleet step has no line search; on
+    strongly nonlinear continuations (wide wind sweeps) a full Newton step
+    from a mildly perturbed iterate can leave the basin entirely — capping
+    the actual displacement keeps the iteration local at the cost of more
+    iterations far from the solution. Near the optimum |dw| is small and
+    the cap is inactive."""
     w, s, y, lam = state['w'], state['s'], state['y'], state['lam']
     zl, zu, mu = state['zl'], state['zu'], state['mu']
     dw, dy, dlam, ds, dzl, dzu = direction
@@ -465,6 +476,9 @@ def _advance_state(state, direction, ok, err_d, lbw, ubw, n_ineq,
     alpha = jnp.minimum(ftb(dl, dw), ftb(du, -dw))
     if n_ineq:
         alpha = jnp.minimum(alpha, ftb(s, ds))
+    if step_cap is not None:
+        alpha = jnp.minimum(
+            alpha, step_cap / jnp.maximum(jnp.max(jnp.abs(dw)), 1e-12))
     alpha_z = jnp.minimum(ftb(jnp.maximum(zl, 1e-300), dzl),
                           ftb(jnp.maximum(zu, 1e-300), dzu))
     if n_ineq:

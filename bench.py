@@ -337,14 +337,20 @@ def inner():
     # re-evaluation at larger n where the O(n^3)/O(n^2) gap widens.
     refresh_k = int(os.environ.get('BENCH_REFRESH', '1'))
     use_stale = kkt == 'auglu' and factor == 'qr' and refresh_k > 1
+    # trust-region-style step truncation (|alpha dw|_inf <= cap, scaled
+    # units): keeps wide-basin continuation lanes local; off by default —
+    # the +-5% production sweep needs no truncation
+    step_cap_env = os.environ.get('BENCH_STEP_CAP', '')
+    step_cap = float(step_cap_env) if step_cap_env else None
     _, direction = make_ip_step(ocp, kkt=kkt, hessian=hess, split=True,
                                 solve_dtype='float64', kappa_mu=kappa_mu,
-                                auglu_factor=factor,
+                                auglu_factor=factor, step_cap=step_cap,
                                 auglu_mode='refresh' if use_stale else None)
     if use_stale:
         _, direction_stale = make_ip_step(
             ocp, kkt=kkt, hessian=hess, split=True, solve_dtype='float64',
-            kappa_mu=kappa_mu, auglu_factor=factor, auglu_mode='stale')
+            kappa_mu=kappa_mu, auglu_factor=factor, auglu_mode='stale',
+            step_cap=step_cap)
 
     def f32_module(jitted):
         # trace + run the f32 derivative modules with x64 scoped OFF so
