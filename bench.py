@@ -46,10 +46,11 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 DEADLINE_S = int(os.environ.get('BENCH_DEADLINE_S', '450'))
-# B=256 exceeds HBM on this 16G chip: the direction module's compile fails
-# with "Ran out of memory in memory space hbm. Used 17.04G of 15.75G"
-# (axon remote_compile HTTP 500; root-caused round 4 — this was round 3's
-# mystery "kernel fault"). B=128 fits with ~50% headroom.
+# B=128 is the measured throughput sweet spot on this chip. History: the
+# round-3/4 emulated-f64 condensed path OOMed HBM at B=256 ("Used 17.04G of
+# 15.75G"); the round-5 augmented-QR f32 path compiles B=256 fine (23 s
+# direction module) but runs at 635 ms/iter vs 231 at B=128 and lost 3 edge
+# lanes (253/256, 6.65 solves/s vs 11.07) — measured on hardware 2026-08-22.
 B = int(os.environ.get('BENCH_B', '128'))
 N_ITER_CAP = int(os.environ.get('BENCH_N_ITER', '200'))
 ANCHOR = os.path.join(HERE, 'tests', 'artifacts', 'bench_anchor_nk4_d3.npz')
